@@ -1,0 +1,104 @@
+"""Typed detector configurations.
+
+TPU-native re-design of the reference's ``data/config.py`` dicts (SURVEY.md §2 #4,
+reference lineage [R] data/config.py — reference mount unreadable this round, see
+SURVEY.md banner). The reference keeps per-resolution dicts (``voc_320``,
+``voc_512``, ``vid_*``) holding the prior-box geometry; we mirror that geometry 1:1
+in frozen dataclasses so it is provably identical and hashable (usable as a static
+argument to ``jax.jit``).
+
+Geometry notes (RefineDet-style, the reference's ARM→ODM lineage):
+  * 4 detection scales; feature maps [40,20,10,5] @320 and [64,32,16,8] @512.
+  * 3 anchors per cell: aspect ratios {1, 2, 1/2} at scale ``min_size`` — no
+    sqrt(s_k*s_{k+1}) anchor (that is SSD-style; RefineDet drops ``max_sizes``).
+  * variances (0.1, 0.2) for the center/size encoding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+ScaleTuple = Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static geometry + post-processing configuration for one detector variant."""
+
+    name: str
+    num_classes: int  # including background class 0
+    size: int  # square input resolution
+    feature_maps: ScaleTuple
+    steps: ScaleTuple
+    min_sizes: ScaleTuple
+    aspect_ratios: Tuple[Tuple[float, ...], ...]  # extra ratios per scale (r and 1/r added)
+    variance: Tuple[float, float] = (0.1, 0.2)
+    clip: bool = True
+    # Post-processing (reference Detect defaults, SURVEY.md §2 #20).
+    conf_thresh: float = 0.01
+    nms_thresh: float = 0.45
+    top_k: int = 200
+    # ARM negative-anchor filter threshold (SURVEY.md §2 #19/#20).
+    arm_filter_thresh: float = 0.99
+    # Pixel means (BGR order in the reference; we store RGB for our RGB pipeline).
+    pixel_means: Tuple[float, float, float] = (123.0, 117.0, 104.0)
+    # Temporal settings (TDRN, SURVEY.md §2 #16).
+    seq_len: int = 8
+
+    @property
+    def anchors_per_cell(self) -> Tuple[int, ...]:
+        return tuple(1 + 2 * len(ars) for ars in self.aspect_ratios)
+
+    @property
+    def num_priors(self) -> int:
+        return sum(
+            f * f * a for f, a in zip(self.feature_maps, self.anchors_per_cell)
+        )
+
+
+def _cfg(name: str, num_classes: int, size: int, **kw) -> DetectorConfig:
+    if size == 320:
+        geom = dict(
+            feature_maps=(40, 20, 10, 5),
+            steps=(8, 16, 32, 64),
+            min_sizes=(32, 64, 128, 256),
+            aspect_ratios=((2.0,), (2.0,), (2.0,), (2.0,)),
+        )
+    elif size == 512:
+        geom = dict(
+            feature_maps=(64, 32, 16, 8),
+            steps=(8, 16, 32, 64),
+            min_sizes=(32, 64, 128, 256),
+            aspect_ratios=((2.0,), (2.0,), (2.0,), (2.0,)),
+        )
+    else:
+        raise ValueError(f"unsupported size {size}")
+    geom.update(kw)
+    return DetectorConfig(name=name, num_classes=num_classes, size=size, **geom)
+
+
+# Tiny config for tests / sharding dry-runs: same 4-scale topology at 64×64.
+TINY_64 = DetectorConfig(
+    name="tiny_64",
+    num_classes=4,
+    size=64,
+    feature_maps=(8, 4, 2, 1),
+    steps=(8, 16, 32, 64),
+    min_sizes=(8, 16, 32, 48),
+    aspect_ratios=((2.0,), (2.0,), (2.0,), (2.0,)),
+)
+
+# Pascal VOC: 20 classes + background (SURVEY.md §2 #1).
+VOC_320 = _cfg("voc_320", num_classes=21, size=320)
+VOC_512 = _cfg("voc_512", num_classes=21, size=512)
+
+# ImageNet VID: 30 classes + background (SURVEY.md §2 #2, BASELINE.json).
+VID_320 = _cfg("vid_320", num_classes=31, size=320)
+VID_512 = _cfg("vid_512", num_classes=31, size=512)
+
+CONFIGS = {c.name: c for c in (VOC_320, VOC_512, VID_320, VID_512, TINY_64)}
+
+
+def get_config(name: str) -> DetectorConfig:
+    return CONFIGS[name]

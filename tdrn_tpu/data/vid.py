@@ -1,0 +1,155 @@
+"""ImageNet VID dataset (frame + sequence modes).
+
+TPU-native re-design of the reference's ``data/vid.py`` (SURVEY.md §2 #2):
+walks an ILSVRC2015 VID tree (Data/VID + Annotations/VID, per-frame XML with
+wnid labels + track ids), supports single-frame sampling and fixed-length
+consecutive-frame *clip* sampling (``seq_len``, default 8) for temporal
+training. Emits fixed-shape padded samples; clip samples are
+(T, H, W, 3) / (T, G, ...) stacks matching the ``lax.scan`` train step.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdrn_tpu.data.voc import pad_targets
+
+# The 30 ImageNet VID classes: (wnid, human name).
+VID_WNID_CLASSES = (
+    ("n02691156", "airplane"), ("n02419796", "antelope"), ("n02131653", "bear"),
+    ("n02834778", "bicycle"), ("n01503061", "bird"), ("n02924116", "bus"),
+    ("n02958343", "car"), ("n02402425", "cattle"), ("n02084071", "dog"),
+    ("n02121808", "domestic_cat"), ("n02503517", "elephant"), ("n02118333", "fox"),
+    ("n02510455", "giant_panda"), ("n02342885", "hamster"), ("n02374451", "horse"),
+    ("n02129165", "lion"), ("n01674464", "lizard"), ("n02484322", "monkey"),
+    ("n03790512", "motorcycle"), ("n02324045", "rabbit"), ("n02509815", "red_panda"),
+    ("n02411705", "sheep"), ("n01726692", "snake"), ("n02355227", "squirrel"),
+    ("n02129604", "tiger"), ("n04468005", "train"), ("n01662784", "turtle"),
+    ("n04530566", "watercraft"), ("n02062744", "whale"), ("n02391049", "zebra"),
+)
+VID_CLASSES = tuple(name for _, name in VID_WNID_CLASSES)
+_WNID_TO_IDX = {wnid: i for i, (wnid, _) in enumerate(VID_WNID_CLASSES)}
+
+
+def parse_vid_xml(path: str):
+    """One VID frame annotation -> (boxes pixel xyxy, labels, track_ids)."""
+    root = ET.parse(path).getroot()
+    boxes, labels, tracks = [], [], []
+    for obj in root.iter("object"):
+        wnid = obj.find("name").text.strip()
+        if wnid not in _WNID_TO_IDX:
+            continue
+        bb = obj.find("bndbox")
+        boxes.append(
+            [
+                float(bb.find("xmin").text),
+                float(bb.find("ymin").text),
+                float(bb.find("xmax").text),
+                float(bb.find("ymax").text),
+            ]
+        )
+        labels.append(_WNID_TO_IDX[wnid])
+        tid = obj.find("trackid")
+        tracks.append(int(tid.text) if tid is not None else -1)
+    return (
+        np.asarray(boxes, np.float32).reshape(-1, 4),
+        np.asarray(labels, np.int32),
+        np.asarray(tracks, np.int32),
+    )
+
+
+class VIDDetection:
+    """ILSVRC VID dataset.
+
+    mode="frame": __getitem__ -> one padded frame sample (like VOCDetection).
+    mode="clip":  __getitem__ -> a (seq_len, ...) stack of consecutive frames
+                   from one snippet (random start for train).
+    root layout: <root>/Data/VID/<split>/... and <root>/Annotations/VID/<split>/...
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        mode: str = "clip",
+        seq_len: int = 8,
+        transform: Optional[Callable] = None,
+        max_gt: int = 60,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        assert mode in ("frame", "clip")
+        self.root = root
+        self.split = split
+        self.mode = mode
+        self.seq_len = seq_len
+        self.transform = transform
+        self.max_gt = max_gt
+        self.rng = rng or np.random.default_rng(0)
+
+        data_dir = os.path.join(root, "Data", "VID", split)
+        self.snippets: List[Tuple[str, List[str]]] = []  # (snippet_dir, frame stems)
+        self.frames: List[Tuple[str, str]] = []  # flat (snippet_dir, stem)
+        for dirpath, _dirnames, filenames in sorted(os.walk(data_dir)):
+            stems = sorted(os.path.splitext(f)[0] for f in filenames if f.endswith(".JPEG"))
+            if not stems:
+                continue
+            rel = os.path.relpath(dirpath, data_dir)
+            self.snippets.append((rel, stems))
+            self.frames.extend((rel, s) for s in stems)
+
+    def __len__(self):
+        return len(self.snippets) if self.mode == "clip" else len(self.frames)
+
+    def _load_frame(self, rel: str, stem: str):
+        import cv2
+
+        img_path = os.path.join(self.root, "Data", "VID", self.split, rel, stem + ".JPEG")
+        ann_path = os.path.join(
+            self.root, "Annotations", "VID", self.split, rel, stem + ".xml"
+        )
+        img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+        if os.path.exists(ann_path):
+            boxes, labels, _ = parse_vid_xml(ann_path)
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+            labels = np.zeros((0,), np.int32)
+        return img, boxes, labels
+
+    def _prepare(self, img, boxes, labels):
+        if self.transform is not None:
+            img, boxes01, labels = self.transform(img, boxes, labels)
+        else:
+            h, w, _ = img.shape
+            boxes01 = boxes / np.asarray([w, h, w, h], np.float32)
+        return pad_targets(img, boxes01, labels, self.max_gt)
+
+    def __getitem__(self, index: int):
+        if self.mode == "frame":
+            rel, stem = self.frames[index]
+            return self._prepare(*self._load_frame(rel, stem))
+        rel, stems = self.snippets[index]
+        t = self.seq_len
+        if len(stems) >= t:
+            start = int(self.rng.integers(0, len(stems) - t + 1))
+            chosen = stems[start : start + t]
+        else:  # short snippet: repeat last frame to fill the clip
+            chosen = stems + [stems[-1]] * (t - len(stems))
+        samples = [self._prepare(*self._load_frame(rel, s)) for s in chosen]
+        imgs, bs, ls, vs = zip(*samples)
+        return np.stack(imgs), np.stack(bs), np.stack(ls), np.stack(vs)
+
+
+def collate_clips(samples):
+    """Stack clip samples -> (T, B, ...) arrays for the scan-based train step."""
+    imgs, bs, ls, vs = zip(*samples)
+    # samples are (T, ...); stack to (B, T, ...) then move T first.
+    return (
+        np.stack(imgs).swapaxes(0, 1).astype(np.float32),
+        np.stack(bs).swapaxes(0, 1),
+        np.stack(ls).swapaxes(0, 1),
+        np.stack(vs).swapaxes(0, 1),
+    )

@@ -1,0 +1,132 @@
+"""Streaming / batch inference pipelines.
+
+TPU-native re-design of the reference's test-phase forward + live demo
+(SURVEY.md §2 #20, #24, §3.3). The reference's per-frame loop round-trips
+host<->device twice per frame (cv2 preprocess in, boxes out) and runs Detect on
+the host. Here ONE jitted step function consumes a raw uint8 frame and the
+HBM-resident temporal state and returns fixed-shape (boxes, scores, classes)
+plus the new state; the state argument is donated, so streaming video holds its
+recurrent features in HBM with zero copies (BASELINE.json north-star).
+
+``StreamingDetector`` also supports continuous batching: S independent streams
+share one compiled step with a (S, ...) batch axis and per-stream reset masks —
+a new stream slots into a batch lane by zeroing that lane's state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdrn_tpu.config import DetectorConfig
+from tdrn_tpu.models.detector import TDRN
+from tdrn_tpu.ops.detection import detect_topk
+from tdrn_tpu.ops.nms import TopDetections
+from tdrn_tpu.ops.preprocess import preprocess_batch
+from tdrn_tpu.ops.priors import prior_boxes
+
+Array = jnp.ndarray
+State = List[Array]
+
+
+class StreamingDetector:
+    """Stateful per-frame detector over S concurrent streams.
+
+    detect(frames_u8) -> (boxes (S,K,4) in [0,1] xyxy, scores (S,K), classes (S,K)).
+    """
+
+    def __init__(
+        self,
+        model: TDRN,
+        params: Any,
+        num_streams: int = 1,
+        frame_hw: Optional[Tuple[int, int]] = None,
+        top_k: Optional[int] = None,
+    ):
+        self.model = model
+        self.cfg = model.cfg
+        self.params = params
+        self.num_streams = num_streams
+        self.frame_hw = frame_hw or (model.cfg.size, model.cfg.size)
+        self.top_k = top_k or model.cfg.top_k
+        self._state = model.zero_state(num_streams) if model.temporal else None
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, cfg, top_k = self.model, self.cfg, self.top_k
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, state, frames_u8, reset):
+            x = preprocess_batch(frames_u8, cfg, model.dtype)
+            if state is not None:
+                # Per-stream reset: zero this lane's carried features.
+                state = [s * (1.0 - reset[:, None, None, None]).astype(s.dtype) for s in state]
+            preds, new_state = model.apply(params, x, state)
+            priors = prior_boxes(cfg)
+            det = detect_topk(preds, priors, cfg, top_k)
+            return new_state, det
+
+        return step
+
+    def reset(self, stream_ids: Optional[List[int]] = None):
+        """Mark streams for state reset at the next frame (clip boundary)."""
+        if stream_ids is None:
+            stream_ids = list(range(self.num_streams))
+        self._pending_reset = getattr(self, "_pending_reset", set()) | set(stream_ids)
+
+    def detect(self, frames_u8: np.ndarray) -> TopDetections:
+        """frames_u8: (S, H, W, 3) uint8 RGB. Returns fixed-shape detections."""
+        pending = getattr(self, "_pending_reset", set())
+        reset = np.zeros((self.num_streams,), np.float32)
+        for i in pending:
+            reset[i] = 1.0
+        self._pending_reset = set()
+        self._state, det = self._step(
+            self.params, self._state, jnp.asarray(frames_u8), jnp.asarray(reset)
+        )
+        return det
+
+
+def make_clip_forward(model: TDRN, top_k: Optional[int] = None):
+    """Jitted whole-clip inference: (T, B, H, W, 3) uint8 -> per-frame detections.
+
+    The scan carries the temporal state in HBM across the clip (config 3 of
+    BASELINE.json); detections come back with a leading time axis.
+    """
+    cfg = model.cfg
+    k = top_k or cfg.top_k
+
+    @jax.jit
+    def run(params, frames_u8):
+        batch = frames_u8.shape[1]
+        init = model.zero_state(batch) if model.temporal else None
+        priors = prior_boxes(cfg)
+
+        def step(state, x_t):
+            x = preprocess_batch(x_t, cfg, model.dtype)
+            preds, new_state = model.apply(params, x, state)
+            return new_state, detect_topk(preds, priors, cfg, k)
+
+        _, dets = jax.lax.scan(step, init, frames_u8)
+        return dets
+
+    return run
+
+
+def make_single_image_forward(model: TDRN, top_k: Optional[int] = None):
+    """Jitted single-image detect (config 1/2 of BASELINE.json)."""
+    cfg = model.cfg
+    k = top_k or cfg.top_k
+
+    @jax.jit
+    def run(params, images_u8):
+        x = preprocess_batch(images_u8, cfg, model.dtype)
+        state = model.zero_state(images_u8.shape[0]) if model.temporal else None
+        preds, _ = model.apply(params, x, state)
+        return detect_topk(preds, prior_boxes(cfg), cfg, k)
+
+    return run

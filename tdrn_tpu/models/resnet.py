@@ -1,0 +1,100 @@
+"""ResNet backbone variant (ResNet-101 for the 512-input model).
+
+TPU-native re-design of the reference's ResNet-101 backbone option
+(SURVEY.md §2 #17, BASELINE.json config 5). Standard ResNet-v1 bottleneck
+stacks in NHWC; the detector consumes four scales:
+
+    C3 (size/8,  512 ch), C4 (size/16, 1024 ch), C5 (size/32, 2048 ch),
+    extra (size/64, 512 ch)  — RefineDet-style extra stage.
+
+BatchNorm is folded as frozen scale/bias (inference-style) — detection
+fine-tuning at batch<=32 traditionally freezes BN stats; this keeps the
+forward purely functional (no mutable batch stats threading) and XLA-fusible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdrn_tpu.models.layers import conv1x1, conv3x3
+
+Dtype = Any
+
+_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class FrozenBN(nn.Module):
+    """Per-channel affine (frozen batch-norm): y = x * scale + bias."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x * scale + bias).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.features
+        out_ch = 4 * f
+        shortcut = x
+        if x.shape[-1] != out_ch or self.stride != 1:
+            shortcut = nn.Conv(
+                out_ch, (1, 1), strides=(self.stride, self.stride),
+                dtype=self.dtype, name="proj",
+            )(x)
+            shortcut = FrozenBN(dtype=self.dtype, name="proj_bn")(shortcut)
+        y = conv1x1(f, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn1")(y))
+        y = conv3x3(f, stride=self.stride, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn2")(y))
+        y = conv1x1(out_ch, dtype=self.dtype, name="conv3")(y)
+        y = FrozenBN(dtype=self.dtype, name="bn3")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet-50/101/152 emitting the 4 detection scales."""
+
+    depth: int = 101
+    dtype: Dtype = jnp.float32
+    width_mult: float = 1.0
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        blocks = _DEPTHS[self.depth]
+        w = lambda c: max(8, int(c * self.width_mult))
+        # Stem: 7x7/2 conv + 3x3/2 maxpool -> stride 4.
+        x = nn.Conv(
+            w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            dtype=self.dtype, name="stem",
+        )(x)
+        x = nn.relu(FrozenBN(dtype=self.dtype, name="stem_bn")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        sources = []
+        widths = (w(64), w(128), w(256), w(512))
+        for si, (n, f) in enumerate(zip(blocks, widths)):
+            for bi in range(n):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                x = Bottleneck(
+                    f, stride=stride, dtype=self.dtype, name=f"stage{si + 1}_{bi}"
+                )(x)
+            if si >= 1:  # C3 (stride 8), C4 (16), C5 (32)
+                sources.append(x)
+        # Extra stage -> stride 64 (RefineDet-style).
+        y = nn.relu(conv1x1(w(256), dtype=self.dtype, name="extra1")(x))
+        y = nn.relu(conv3x3(w(512), stride=2, dtype=self.dtype, name="extra2")(y))
+        sources.append(y)
+        return sources

@@ -1,0 +1,63 @@
+"""Transfer Connection Blocks (TCB): the top-down ARM->ODM feature path.
+
+TPU-native re-design of the reference's TCB modules (SURVEY.md §2 #13, §3.4):
+each ARM source feature map is projected to 256 channels, fused with the
+(2x-upsampled) deeper TCB output, and refined — producing the ODM feature
+pyramid. We fuse with a stride-2 transposed conv like the reference's deconv;
+addition happens pre-activation.
+
+    t3 = TCB(s3)
+    t2 = TCB(s2, up(t3)) ... t0 = TCB(s0, up(t1))
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdrn_tpu.models.layers import conv3x3
+
+Dtype = Any
+
+
+class TCB(nn.Module):
+    """One transfer-connection block (256-channel output)."""
+
+    channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deeper: Optional[jnp.ndarray] = None):
+        c = self.channels
+        x = nn.relu(conv3x3(c, dtype=self.dtype, name="conv1")(x))
+        x = conv3x3(c, dtype=self.dtype, name="conv2")(x)
+        if deeper is not None:
+            up = nn.ConvTranspose(
+                c, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv"
+            )(deeper)
+            x = x + up
+        x = nn.relu(x)
+        x = nn.relu(conv3x3(c, dtype=self.dtype, name="conv3")(x))
+        return x
+
+
+class TopDownPyramid(nn.Module):
+    """Apply TCBs deepest-first, threading the upsampled deeper feature."""
+
+    num_scales: int = 4
+    channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sources: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        assert len(sources) == self.num_scales
+        outs: List[jnp.ndarray] = [None] * self.num_scales  # type: ignore
+        deeper = None
+        for k in reversed(range(self.num_scales)):
+            deeper = TCB(self.channels, dtype=self.dtype, name=f"tcb{k}")(
+                sources[k], deeper
+            )
+            outs[k] = deeper
+        return outs

@@ -1,0 +1,67 @@
+"""VGG-16 (reduced-fc) backbone.
+
+TPU-native re-design of the reference's ``vgg(base_cfg, 3)`` builder
+(SURVEY.md §2 #9): the standard VGG-16 conv stack with the SSD/RefineDet
+surgery — fc6/fc7 replaced by dilated conv6 + 1×1 conv7 — emitting the four
+detection scales used by the ARM (SURVEY.md §3.4):
+
+    conv4_3  (size/8,  512 ch)   e.g. 40×40 @320
+    conv5_3  (size/16, 512 ch)        20×20
+    conv7    (size/32, 1024 ch)       10×10   (after stride-2 pool5)
+    conv6_2  (size/64, 512 ch)         5×5    (extra layers, SURVEY.md §2 #11)
+
+Layout is NHWC throughout (TPU MXU-friendly); all pools divide the 320/512
+inputs exactly so no ceil-mode special-casing is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tdrn_tpu.models.layers import conv1x1, conv3x3
+
+Dtype = Any
+
+# (num_convs, channels) per VGG stage.
+_STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class VGG16Reduced(nn.Module):
+    """VGG-16 with reduced-fc surgery; returns the 4 ARM source feature maps.
+
+    ``width_mult`` scales every channel count (1.0 = the reference geometry);
+    fractional widths are used by the test suite / sharding dry-runs to keep
+    CPU compile times small while exercising the full topology.
+    """
+
+    dtype: Dtype = jnp.float32
+    width_mult: float = 1.0
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        w = lambda c: max(8, int(c * self.width_mult))
+        sources = []
+        for si, (n, ch) in enumerate(_STAGES):
+            for ci in range(n):
+                x = conv3x3(w(ch), dtype=self.dtype, name=f"conv{si + 1}_{ci + 1}")(x)
+                x = nn.relu(x)
+            if si == 3:  # conv4_3 output (pre-pool4)
+                sources.append(x)
+            if si == 4:  # conv5_3 output (pre-pool5)
+                sources.append(x)
+            if si < 4:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # pool5: stride-2 (RefineDet geometry: fc7 scale = size/32).
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # fc6 -> dilated conv6, fc7 -> 1x1 conv7 (reduced-fc surgery).
+        x = nn.relu(conv3x3(w(1024), dilation=3, dtype=self.dtype, name="conv6")(x))
+        x = nn.relu(conv1x1(w(1024), dtype=self.dtype, name="conv7")(x))
+        sources.append(x)
+        # Extra layers: conv6_1 (1x1, 256) + conv6_2 (3x3, s2, 512) -> size/64.
+        x = nn.relu(conv1x1(w(256), dtype=self.dtype, name="conv6_1")(x))
+        x = nn.relu(conv3x3(w(512), stride=2, dtype=self.dtype, name="conv6_2")(x))
+        sources.append(x)
+        return sources

@@ -1,0 +1,68 @@
+"""Two-stage (ARM -> ODM) detection post-processing.
+
+TPU-native re-design of the reference's ``Detect`` function
+(``layers/functions/detection.py``, SURVEY.md §2 #20, §3.4): softmax confidences,
+two-stage box decode (ARM offsets against the priors produce refined anchors; ODM
+offsets decode against those refined anchors), ARM negative-anchor filtering
+(anchors whose ARM background score exceeds 0.99 are silenced), then per-class
+threshold + NMS + top-k. Everything here is pure jnp + the fixed-shape NMS, so the
+whole post-processing stage compiles into the same XLA program as the network
+forward (BASELINE.json north-star: "prior-box generation, box decode, and
+class-aware NMS run on-device").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tdrn_tpu.config import DetectorConfig
+from tdrn_tpu.ops import boxes as B
+from tdrn_tpu.ops import nms as N
+
+Array = jnp.ndarray
+
+
+class RawPredictions(NamedTuple):
+    """Network outputs for one batch (train-phase forward contract, SURVEY.md L4)."""
+
+    arm_loc: Array  # (B, P, 4)
+    arm_conf: Array  # (B, P, 2) objectness logits
+    odm_loc: Array  # (B, P, 4)
+    odm_conf: Array  # (B, P, C) class logits
+
+
+def decode_two_stage(preds: RawPredictions, priors: Array, cfg: DetectorConfig):
+    """Decode ODM boxes against ARM-refined anchors.
+
+    Returns (boxes (B,P,4) xyxy, class_scores (B,P,C) softmax with ARM-filtered
+    anchors zeroed).
+    """
+    var = cfg.variance
+    refined = B.decode(preds.arm_loc, priors, var)  # (B, P, 4) xyxy
+    boxes = B.decode(preds.odm_loc, B.center_size(refined), var)
+    scores = jax.nn.softmax(preds.odm_conf, axis=-1)
+    arm_bg = jax.nn.softmax(preds.arm_conf, axis=-1)[..., 0]
+    # ARM negative-anchor filter: silence anchors the ARM is confident are bg.
+    scores = jnp.where((arm_bg > cfg.arm_filter_thresh)[..., None], 0.0, scores)
+    return boxes, scores
+
+
+def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
+    """Full reference-style Detect: (B, C, top_k, 5) rows [score, x1, y1, x2, y2]."""
+    boxes, scores = decode_two_stage(preds, priors, cfg)
+    fn = lambda b, s: N.class_aware_nms(
+        b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh
+    )
+    return jax.vmap(fn)(boxes, scores)
+
+
+def detect_topk(
+    preds: RawPredictions, priors: Array, cfg: DetectorConfig, top_k: Optional[int] = None
+) -> N.TopDetections:
+    """Public per-frame detect API: overall top-k (boxes, scores, classes) per image."""
+    k = top_k or cfg.top_k
+    det = detect(preds, priors, cfg)  # (B, C, K, 5)
+    return jax.vmap(lambda d: N.flatten_detections(d, k))(det)

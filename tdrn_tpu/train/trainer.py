@@ -1,0 +1,139 @@
+"""Training loop machinery.
+
+TPU-native re-design of the reference's ``train.py`` (SURVEY.md §2 #21, §3.1):
+SGD with momentum 0.9 / weight decay 5e-4, warmup + step-decay LR schedule,
+periodic checkpointing with resume. The differences are structural:
+
+  * the whole step — matching, loss, backward, optimizer — is ONE jitted
+    program; there is no per-image host matching loop;
+  * data parallelism is a named-mesh sharding (parallel/mesh.py), not
+    ``nn.DataParallel``; the gradient all-reduce is inserted by XLA;
+  * VID clip training runs ``lax.scan`` over the time axis carrying the
+    temporal state (truncated-BPTT over the clip, SURVEY.md §5.7), instead of
+    a Python loop over frames;
+  * checkpoints capture params + optimizer state + step (orbax), so resume is
+    exact (the reference restarts optimizer momentum, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tdrn_tpu.config import DetectorConfig
+from tdrn_tpu.models.detector import TDRN
+from tdrn_tpu.ops.detection import RawPredictions
+from tdrn_tpu.ops.priors import prior_boxes
+from tdrn_tpu.train.loss import Targets, refine_multibox_loss
+
+Array = jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array  # scalar int32
+
+
+def make_lr_schedule(
+    base_lr: float = 1e-3,
+    warmup_steps: int = 500,
+    milestones: Sequence[int] = (80_000, 100_000),
+    gamma: float = 0.1,
+):
+    """Linear warmup then step decay at milestones (reference schedule)."""
+    decay = optax.piecewise_constant_schedule(
+        base_lr, {int(m): gamma for m in milestones}
+    )
+
+    def schedule(step):
+        warm = base_lr * (step + 1) / max(warmup_steps, 1)
+        return jnp.where(step < warmup_steps, warm, decay(step))
+
+    return schedule
+
+
+def make_optimizer(
+    base_lr: float = 1e-3,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    warmup_steps: int = 500,
+    milestones: Sequence[int] = (80_000, 100_000),
+    gamma: float = 0.1,
+) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(
+            make_lr_schedule(base_lr, warmup_steps, milestones, gamma),
+            momentum=momentum,
+        ),
+    )
+
+
+def init_train_state(
+    model: TDRN, rng: jax.Array, optimizer: optax.GradientTransformation, batch: int = 1
+) -> TrainState:
+    x = jnp.zeros((batch, model.cfg.size, model.cfg.size, 3), model.dtype)
+    state = model.zero_state(batch) if model.temporal else None
+    params = jax.jit(model.init)(rng, x, state)
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def _clip_loss(model: TDRN, params, frames: Array, targets: Targets, priors, cfg):
+    """Scan the model over a (T, B, H, W, 3) clip, summing per-frame losses."""
+    batch = frames.shape[1]
+    init = model.zero_state(batch)
+
+    def step(state, xs):
+        x_t, boxes_t, labels_t, valid_t = xs
+        preds, new_state = model.apply(params, x_t, state)
+        loss, metrics = refine_multibox_loss(
+            preds, priors, Targets(boxes_t, labels_t, valid_t), cfg
+        )
+        return new_state, (loss, metrics)
+
+    _, (losses, metrics) = jax.lax.scan(
+        step, init, (frames, targets.boxes, targets.labels, targets.valid)
+    )
+    return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+
+def _image_loss(model: TDRN, params, images: Array, targets: Targets, priors, cfg):
+    state = model.zero_state(images.shape[0]) if model.temporal else None
+    preds, _ = model.apply(params, images, state)
+    return refine_multibox_loss(preds, priors, targets, cfg)
+
+
+def make_train_step(
+    model: TDRN,
+    optimizer: optax.GradientTransformation,
+    clip_mode: bool = False,
+):
+    """Build the jitted train step.
+
+    clip_mode=False: images (B, H, W, 3), targets (B, G, ...).
+    clip_mode=True:  frames (T, B, H, W, 3), targets (T, B, G, ...) — TDRN
+    truncated-BPTT over the clip.
+    """
+    cfg = model.cfg
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(ts: TrainState, batch_images: Array, targets: Targets):
+        priors = prior_boxes(cfg)
+
+        def loss_fn(params):
+            if clip_mode:
+                return _clip_loss(model, params, batch_images, targets, priors, cfg)
+            return _image_loss(model, params, batch_images, targets, priors, cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        metrics = dict(metrics, loss=loss)
+        return TrainState(params, opt_state, ts.step + 1), metrics
+
+    return train_step

@@ -1,0 +1,137 @@
+"""Host-side subsystems: VOC AP evaluator, augmentations, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tdrn_tpu.data.augment import SSDAugmentation, BaseTransform
+from tdrn_tpu.data.voc import pad_targets, parse_voc_xml, collate_batch
+from tdrn_tpu.eval.voc_eval import eval_class, evaluate_detections, voc_ap
+
+
+class TestVocAP:
+    def test_perfect_detections(self):
+        gt = {"im1": (np.asarray([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32),
+                      np.zeros(2, bool))}
+        dets = {"im1": (np.asarray([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32),
+                        np.asarray([0.9, 0.8]))}
+        ap, recall, _ = eval_class(gt, dets, use_07_metric=False)
+        assert ap == pytest.approx(1.0, abs=1e-6)
+        assert recall[-1] == pytest.approx(1.0)
+
+    def test_duplicate_is_fp(self):
+        gt = {"im1": (np.asarray([[10, 10, 50, 50]], np.float32), np.zeros(1, bool))}
+        dets = {"im1": (np.asarray([[10, 10, 50, 50], [11, 11, 51, 51]], np.float32),
+                        np.asarray([0.9, 0.8]))}
+        ap, _, precision = eval_class(gt, dets, use_07_metric=False)
+        assert precision[-1] == pytest.approx(0.5)
+        assert ap == pytest.approx(1.0, abs=1e-6)  # recall reached 1 at rank 1
+
+    def test_difficult_ignored(self):
+        gt = {"im1": (np.asarray([[10, 10, 50, 50]], np.float32), np.ones(1, bool))}
+        dets = {"im1": (np.asarray([[10, 10, 50, 50]], np.float32), np.asarray([0.9]))}
+        ap, _, _ = eval_class(gt, dets, use_07_metric=False)
+        assert ap == 0.0  # no non-difficult positives -> npos 0
+
+    def test_miss_is_fp(self):
+        gt = {"im1": (np.asarray([[10, 10, 50, 50]], np.float32), np.zeros(1, bool))}
+        dets = {"im1": (np.asarray([[200, 200, 250, 250]], np.float32), np.asarray([0.9]))}
+        ap, _, _ = eval_class(gt, dets, use_07_metric=False)
+        assert ap == 0.0
+
+    def test_07_metric_11_points(self):
+        recall = np.asarray([0.5])
+        precision = np.asarray([1.0])
+        # precision 1 at recall>=0..0.5 (6 of 11 points)
+        assert voc_ap(recall, precision, use_07_metric=True) == pytest.approx(6 / 11)
+
+    def test_evaluate_detections_map(self):
+        gt = {"im1": (np.asarray([[0, 0, 10, 10]], np.float32),
+                      np.asarray([0], np.int32), np.zeros(1, bool))}
+        dets = {0: {"im1": (np.asarray([[0, 0, 10, 10]], np.float32), np.asarray([0.9]))}}
+        aps = evaluate_detections(gt, dets, ["cls0", "cls1"], use_07_metric=False)
+        assert aps["cls0"] == pytest.approx(1.0, abs=1e-6)
+        assert aps["cls1"] == 0.0
+        assert aps["mAP"] == pytest.approx(0.5, abs=1e-6)
+
+
+class TestAugment:
+    def test_pipeline_contract(self):
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+        boxes = np.asarray([[20, 20, 80, 90], [100, 30, 150, 110]], np.float32)
+        labels = np.asarray([3, 7], np.int32)
+        aug = SSDAugmentation(64, seed=0)
+        for _ in range(20):  # different random paths
+            out, b01, lab = aug(img, boxes, labels)
+            assert out.shape == (64, 64, 3) and out.dtype == np.float32
+            assert b01.shape[0] == lab.shape[0]
+            if len(b01):
+                assert (b01 >= 0).all() and (b01 <= 1).all()
+                assert (b01[:, 2:] >= b01[:, :2]).all()
+
+    def test_base_transform(self):
+        img = np.full((100, 200, 3), 128, np.uint8)
+        out = BaseTransform(64, (123.0, 117.0, 104.0))(img)
+        assert out.shape == (64, 64, 3)
+        np.testing.assert_allclose(out[0, 0], [5.0, 11.0, 24.0])
+
+    def test_deterministic_with_seed(self):
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (80, 80, 3), np.uint8)
+        boxes = np.asarray([[10, 10, 60, 60]], np.float32)
+        labels = np.asarray([0], np.int32)
+        a = SSDAugmentation(32, seed=42)(img, boxes, labels)
+        b = SSDAugmentation(32, seed=42)(img, boxes, labels)
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+class TestVocData:
+    def test_parse_xml(self, tmp_path):
+        xml = """<annotation><object><name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>48</xmin><ymin>240</ymin><xmax>195</xmax><ymax>371</ymax></bndbox>
+        </object><object><name>person</name><difficult>1</difficult>
+        <bndbox><xmin>8</xmin><ymin>12</ymin><xmax>352</xmax><ymax>498</ymax></bndbox>
+        </object></annotation>"""
+        p = tmp_path / "a.xml"
+        p.write_text(xml)
+        boxes, labels, difficult = parse_voc_xml(str(p), keep_difficult=True)
+        assert boxes.shape == (2, 4)
+        np.testing.assert_allclose(boxes[0], [47, 239, 194, 370])  # 0-based
+        assert labels.tolist() == [11, 14]  # dog, person
+        assert difficult.tolist() == [False, True]
+        boxes2, _, _ = parse_voc_xml(str(p), keep_difficult=False)
+        assert boxes2.shape == (1, 4)
+
+    def test_pad_and_collate(self):
+        img = np.zeros((32, 32, 3), np.float32)
+        b = np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32)
+        l = np.asarray([2], np.int32)
+        s1 = pad_targets(img, b, l, max_gt=10)
+        s2 = pad_targets(img, np.zeros((0, 4), np.float32), np.zeros(0, np.int32), 10)
+        imgs, bs, ls, vs = collate_batch([s1, s2])
+        assert imgs.shape == (2, 32, 32, 3)
+        assert bs.shape == (2, 10, 4)
+        assert vs[0].sum() == 1 and vs[1].sum() == 0
+
+
+class TestLoader:
+    def test_prefetch_loader(self):
+        class Dummy:
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                img = np.full((8, 8, 3), i, np.float32)
+                return pad_targets(img, np.zeros((0, 4), np.float32),
+                                   np.zeros(0, np.int32), 4)
+
+        from tdrn_tpu.data.loader import make_loader
+
+        loader = make_loader(Dummy(), batch_size=3, num_workers=2)
+        batches = [next(loader) for _ in range(4)]
+        loader.close()
+        for imgs, bs, ls, vs in batches:
+            assert imgs.shape == (3, 8, 8, 3)
+            assert bs.shape == (3, 4, 4)

@@ -1,0 +1,96 @@
+"""Model forward / jit / temporal-state tests (SURVEY.md §4 shape+jit tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdrn_tpu.config import TINY_64
+from tdrn_tpu.models import build_detector
+from tests.helpers import tiny_detector
+from tdrn_tpu.ops.detection import detect, detect_topk
+from tdrn_tpu.ops.priors import prior_boxes
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = tiny_detector(temporal=True)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, model.zero_state(2))
+    return model, params
+
+
+class TestForward:
+    def test_shapes(self, tiny_model):
+        model, params = tiny_model
+        x = jnp.zeros((2, 64, 64, 3))
+        preds, state = model.apply(params, x, model.zero_state(2))
+        p = TINY_64.num_priors
+        assert preds.arm_loc.shape == (2, p, 4)
+        assert preds.arm_conf.shape == (2, p, 2)
+        assert preds.odm_loc.shape == (2, p, 4)
+        assert preds.odm_conf.shape == (2, p, TINY_64.num_classes)
+        c = model.tcb_channels
+        assert [s.shape for s in state] == [
+            (2, 8, 8, c),
+            (2, 4, 4, c),
+            (2, 2, 2, c),
+            (2, 1, 1, c),
+        ]
+
+    def test_temporal_state_matters(self, tiny_model):
+        """Carried state must condition the next frame's predictions."""
+        model, params = tiny_model
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        zero = model.zero_state(1)
+        preds0, state1 = model.apply(params, x, zero)
+        preds1, _ = model.apply(params, x, state1)
+        # same frame, different state -> different ODM predictions
+        assert not np.allclose(np.asarray(preds0.odm_conf), np.asarray(preds1.odm_conf))
+        # ARM branch is pre-temporal and must be identical
+        np.testing.assert_allclose(
+            np.asarray(preds0.arm_conf), np.asarray(preds1.arm_conf), atol=1e-6
+        )
+
+    def test_non_temporal_variant(self):
+        model = tiny_detector(temporal=False)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), x, None)
+        preds, state = model.apply(params, x, None)
+        assert state is None
+        assert preds.odm_loc.shape == (1, TINY_64.num_priors, 4)
+
+
+class TestDetect:
+    def test_detect_shapes(self, tiny_model):
+        model, params = tiny_model
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+        preds, _ = model.apply(params, x, model.zero_state(2))
+        priors = prior_boxes(TINY_64)
+        det = detect(preds, priors, TINY_64)
+        assert det.shape == (2, TINY_64.num_classes, TINY_64.top_k, 5)
+        top = detect_topk(preds, priors, TINY_64, top_k=50)
+        assert top.boxes.shape == (2, 50, 4)
+        assert top.scores.shape == (2, 50)
+        assert top.classes.shape == (2, 50)
+
+    def test_detect_jits_once(self, tiny_model):
+        model, params = tiny_model
+        priors = prior_boxes(TINY_64)
+
+        traces = []
+
+        @jax.jit
+        def full(params, x, state):
+            traces.append(1)
+            preds, new_state = model.apply(params, x, state)
+            return detect_topk(preds, priors, TINY_64, 20), new_state
+
+        rng = np.random.RandomState(2)
+        state = model.zero_state(1)
+        for _ in range(3):
+            x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+            det, state = full(params, x, state)
+        assert len(traces) == 1  # no recompilation across frames

@@ -1,0 +1,111 @@
+"""Weight surgery (torch -> flax) + orbax checkpoint/resume tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import tiny_detector
+from tests.test_loss import synth_batch
+from tdrn_tpu.train import Targets, init_train_state, make_optimizer, make_train_step
+from tdrn_tpu.train.checkpoint import CheckpointManager
+from tdrn_tpu.utils.torch_weights import load_vgg_backbone, vgg_params_from_state_dict
+
+
+class TestTorchWeights:
+    def _fake_reducedfc(self, model, params):
+        """Build a torch state dict shaped like our tiny backbone."""
+        import torch
+
+        sd = {}
+        from tdrn_tpu.utils.torch_weights import _REDUCEDFC_MAP
+
+        backbone = params["params"]["backbone"]
+        for idx, name in _REDUCEDFC_MAP.items():
+            if name not in backbone:
+                continue
+            kh, kw, cin, cout = backbone[name]["kernel"].shape
+            sd[f"{idx}.weight"] = torch.randn(cout, cin, kh, kw)
+            sd[f"{idx}.bias"] = torch.randn(cout)
+        return sd
+
+    def test_roundtrip_load(self, tmp_path):
+        import torch
+
+        model = tiny_detector(temporal=False)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+        sd = self._fake_reducedfc(model, params)
+        p = str(tmp_path / "vgg.pth")
+        torch.save(sd, p)
+
+        new_params, loaded, skipped = load_vgg_backbone(params, p)
+        assert "conv1_1" in loaded and "conv7" in loaded
+        # kernels transposed OIHW -> HWIO and identical values
+        w_torch = sd["0.weight"].numpy()
+        w_flax = np.asarray(new_params["params"]["backbone"]["conv1_1"]["kernel"])
+        np.testing.assert_allclose(w_flax, np.transpose(w_torch, (2, 3, 1, 0)), atol=1e-6)
+        # untouched layers unchanged
+        np.testing.assert_allclose(
+            np.asarray(new_params["params"]["arm"]["loc0"]["kernel"]),
+            np.asarray(params["params"]["arm"]["loc0"]["kernel"]),
+        )
+        # model still runs with surgically-loaded weights
+        preds, _ = model.apply(new_params, x, None)
+        assert np.isfinite(np.asarray(preds.odm_conf)).all()
+
+    def test_layout_detection(self):
+        import torch
+
+        sd = {"features.0.weight": torch.zeros(8, 3, 3, 3), "features.0.bias": torch.zeros(8)}
+        out = vgg_params_from_state_dict({k: v.numpy() for k, v in sd.items()})
+        assert "conv1_1" in out
+
+
+class TestCheckpoint:
+    def test_save_restore_exact(self, tmp_path):
+        model = tiny_detector(temporal=False)
+        opt = make_optimizer(base_lr=1e-3, warmup_steps=1)
+        ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=2)
+        step = make_train_step(model, opt)
+        rng = np.random.RandomState(0)
+        images, targets = synth_batch(rng, batch=2)
+        for _ in range(3):
+            ts, _ = step(ts, images, targets)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+        assert mgr.maybe_save(ts)
+        mgr.wait()
+
+        template = init_train_state(model, jax.random.PRNGKey(1), opt, batch=2)
+        restored = mgr.restore_latest(template)
+        assert restored is not None
+        assert int(restored.step) == 3
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # optimizer (momentum) state restored exactly -> resume is bit-exact
+        for a, b in zip(jax.tree.leaves(ts.opt_state), jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # training continues from the restored state
+        ts2, m = step(restored, images, targets)
+        assert int(ts2.step) == 4 and np.isfinite(float(m["loss"]))
+
+    def test_restore_empty_dir(self, tmp_path):
+        model = tiny_detector(temporal=False)
+        opt = make_optimizer()
+        ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        assert mgr.restore_latest(ts) is None
+
+    def test_cadence(self, tmp_path):
+        model = tiny_detector(temporal=False)
+        opt = make_optimizer(warmup_steps=1)
+        ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
+        mgr = CheckpointManager(str(tmp_path / "c"), save_every=5)
+        ts = ts._replace(step=jnp.asarray(3, jnp.int32))
+        assert not mgr.maybe_save(ts)
+        ts = ts._replace(step=jnp.asarray(5, jnp.int32))
+        assert mgr.maybe_save(ts)
+        mgr.wait()

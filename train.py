@@ -1,0 +1,140 @@
+"""Training entry point (CLI).
+
+Rebuild of the reference's ``train.py`` (SURVEY.md §2 #21, §3.1) with the same
+flag surface (dataset/size/batch/lr/resume/checkpoint cadence) on top of the
+jitted data-parallel train step. Works for VOC single-image training and VID
+clip (temporal, truncated-BPTT) training.
+
+Example:
+    python train.py --dataset voc_320 --data_root /data/VOCdevkit \
+        --batch_size 32 --max_iter 120000 --save_folder weights/
+    python train.py --dataset vid_320 --data_root /data/ILSVRC --clip \
+        --batch_size 4 --seq_len 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Train a TDRN-TPU detector")
+    ap.add_argument("--dataset", default="voc_320", help="config name (see tdrn_tpu.config)")
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--clip", action="store_true", help="VID clip (temporal) training")
+    ap.add_argument(
+        "--image_sets",
+        default="2007:trainval,2012:trainval",
+        help="VOC splits as year:split[,year:split...]",
+    )
+    ap.add_argument("--seq_len", type=int, default=8)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--milestones", type=int, nargs="+", default=[80000, 100000])
+    ap.add_argument("--gamma", type=float, default=0.1)
+    ap.add_argument("--max_iter", type=int, default=120000)
+    ap.add_argument("--save_folder", default="weights/")
+    ap.add_argument("--save_every", type=int, default=5000)
+    ap.add_argument("--resume", action="store_true", help="resume from latest ckpt")
+    ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--tensorboard", action="store_true")
+    ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.data import SSDAugmentation, VIDDetection, VOCDetection
+    from tdrn_tpu.data.loader import make_loader
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.parallel import make_mesh, replicate_tree, shard_batch_tree
+    from tdrn_tpu.train import (
+        Targets,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from tdrn_tpu.train.checkpoint import CheckpointManager
+    from tdrn_tpu.utils.logging import MetricsLogger
+
+    cfg = get_config(args.dataset)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_detector(cfg, backbone=args.backbone, temporal=args.clip, dtype=dtype)
+
+    aug = SSDAugmentation(cfg.size, cfg.pixel_means, seed=args.seed)
+    if args.clip:
+        dataset = VIDDetection(
+            args.data_root, "train", mode="clip", seq_len=args.seq_len, transform=aug
+        )
+    elif args.dataset.startswith("vid"):
+        dataset = VIDDetection(args.data_root, "train", mode="frame", transform=aug)
+    else:
+        sets = tuple(tuple(p.split(":")) for p in args.image_sets.split(","))
+        try:
+            dataset = VOCDetection(args.data_root, image_sets=sets, transform=aug)
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"dataset split not found under {args.data_root} "
+                f"(--image_sets {args.image_sets}): {e}"
+            )
+    print(f"dataset: {len(dataset)} samples; priors: {cfg.num_priors}")
+
+    opt = make_optimizer(
+        args.lr, args.momentum, args.weight_decay, args.warmup, args.milestones, args.gamma
+    )
+    mesh = make_mesh()
+    ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt, batch=args.batch_size)
+    ts = replicate_tree(ts, mesh)
+
+    ckpt = CheckpointManager(args.save_folder, save_every=args.save_every)
+    if args.resume:
+        restored = ckpt.restore_latest(ts)
+        if restored is not None:
+            ts = replicate_tree(restored, mesh)
+            print(f"resumed at step {int(ts.step)}")
+
+    step_fn = make_train_step(model, opt, clip_mode=args.clip)
+    logger = MetricsLogger(args.save_folder, tensorboard=args.tensorboard, echo_every=args.log_every)
+
+    loader = make_loader(
+        dataset,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        clip_mode=args.clip,
+        seed=args.seed,
+    )
+    t_last = time.perf_counter()
+    for it, batch in zip(range(int(ts.step), args.max_iter), loader):
+        images, boxes, labels, valid = batch
+        images = shard_batch_tree(np.ascontiguousarray(images), mesh, args.clip)
+        targets = shard_batch_tree(
+            Targets(boxes, labels, valid), mesh, leading_time_axis=args.clip
+        )
+        ts, metrics = step_fn(ts, images, targets)
+        if (it + 1) % args.log_every == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            now = time.perf_counter()
+            metrics["steps_per_sec"] = args.log_every / (now - t_last)
+            t_last = now
+            logger.log(it + 1, metrics)
+        ckpt.maybe_save(ts)
+    ckpt.maybe_save(ts, force=True)
+    ckpt.wait()
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()
