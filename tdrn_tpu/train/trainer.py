@@ -83,14 +83,22 @@ def init_train_state(
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def _clip_loss(model: TDRN, params, frames: Array, targets: Targets, priors, cfg):
-    """Scan the model over a (T, B, H, W, 3) clip, summing per-frame losses."""
+def _clip_loss(model: TDRN, params, frames: Array, targets: Targets, priors, cfg,
+               remat: bool = False):
+    """Scan the model over a (T, B, H, W, 3) clip, summing per-frame losses.
+
+    remat=True checkpoints each frame's forward: the backward recomputes
+    per-frame activations instead of keeping T copies alive in HBM — the
+    standard memory/FLOPs trade for truncated BPTT over long clips."""
     batch = frames.shape[1]
     init = model.zero_state(batch)
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(model.apply)
 
     def step(state, xs):
         x_t, boxes_t, labels_t, valid_t = xs
-        preds, new_state = model.apply(params, x_t, state)
+        preds, new_state = apply_fn(params, x_t, state)
         loss, metrics = refine_multibox_loss(
             preds, priors, Targets(boxes_t, labels_t, valid_t), cfg
         )
@@ -112,12 +120,13 @@ def make_train_step(
     model: TDRN,
     optimizer: optax.GradientTransformation,
     clip_mode: bool = False,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
     clip_mode=False: images (B, H, W, 3), targets (B, G, ...).
     clip_mode=True:  frames (T, B, H, W, 3), targets (T, B, G, ...) — TDRN
-    truncated-BPTT over the clip.
+    truncated-BPTT over the clip. remat checkpoints per-frame forwards.
     """
     cfg = model.cfg
 
@@ -127,7 +136,7 @@ def make_train_step(
 
         def loss_fn(params):
             if clip_mode:
-                return _clip_loss(model, params, batch_images, targets, priors, cfg)
+                return _clip_loss(model, params, batch_images, targets, priors, cfg, remat)
             return _image_loss(model, params, batch_images, targets, priors, cfg)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)

@@ -102,7 +102,8 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.9, losses
 
-    def test_clip_mode_scan(self):
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_clip_mode_scan(self, remat):
         model = tiny_detector(temporal=True)
         rng = np.random.RandomState(3)
         t, b = 3, 2
@@ -115,7 +116,7 @@ class TestTrainStep:
         )
         opt = make_optimizer(base_lr=1e-3, warmup_steps=1)
         ts = init_train_state(model, jax.random.PRNGKey(2), opt, batch=b)
-        step = make_train_step(model, opt, clip_mode=True)
+        step = make_train_step(model, opt, clip_mode=True, remat=remat)
         ts, metrics = step(ts, frames, targets)
         assert np.isfinite(float(metrics["loss"]))
         assert int(ts.step) == 1

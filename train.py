@@ -48,6 +48,8 @@ def parse_args():
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--tensorboard", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint per-frame forwards in clip mode (less HBM)")
     return ap.parse_args()
 
 
@@ -106,7 +108,7 @@ def main():
             ts = replicate_tree(restored, mesh)
             print(f"resumed at step {int(ts.step)}")
 
-    step_fn = make_train_step(model, opt, clip_mode=args.clip)
+    step_fn = make_train_step(model, opt, clip_mode=args.clip, remat=args.remat)
     logger = MetricsLogger(args.save_folder, tensorboard=args.tensorboard, echo_every=args.log_every)
 
     loader = make_loader(
