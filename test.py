@@ -1,0 +1,108 @@
+"""Batch-inference script (CLI).
+
+Rebuild of the reference's ``test.py`` (SURVEY.md §4: "a batch-inference
+script — writes predicted boxes for eval images to a text file"): run the
+detector over a dataset split or an image folder and write one results block
+per image (class name, score, pixel box), reference-style.
+
+Example:
+    python test.py --dataset voc_320 --data_root /data/VOCdevkit \
+        --checkpoint weights/ --out_file eval/test1.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Batch inference -> text file")
+    ap.add_argument("--dataset", default="voc_320")
+    ap.add_argument("--data_root", default=None, help="VOCdevkit / ILSVRC root")
+    ap.add_argument("--image_dir", default=None, help="or: a folder of images")
+    ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--out_file", default="eval/test1.txt")
+    ap.add_argument("--visual_thresh", type=float, default=0.6)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--max_images", type=int, default=0)
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.data import VOC_CLASSES, VID_CLASSES, VOCDetection
+    from tdrn_tpu.inference import make_single_image_forward
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.train import init_train_state, make_optimizer
+    from tdrn_tpu.train.checkpoint import CheckpointManager
+
+    cfg = get_config(args.dataset)
+    class_names = VID_CLASSES if args.dataset.startswith("vid") else VOC_CLASSES
+    model = build_detector(cfg, backbone=args.backbone, temporal=False)
+    opt = make_optimizer()
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
+    restored = CheckpointManager(args.checkpoint).restore_latest(ts)
+    if restored is None:
+        raise SystemExit(f"no checkpoint in {args.checkpoint}")
+    params = restored.params
+
+    if args.image_dir:
+        paths = sorted(
+            os.path.join(args.image_dir, f)
+            for f in os.listdir(args.image_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        items = [(os.path.splitext(os.path.basename(p))[0], p) for p in paths]
+    else:
+        if not args.data_root:
+            raise SystemExit("need --data_root or --image_dir")
+        ds = VOCDetection(args.data_root, image_sets=(("2007", "test"),))
+        items = [(ds.ids[i][1], ds.image_path(i)) for i in range(len(ds))]
+    if args.max_images:
+        items = items[: args.max_images]
+
+    forward = make_single_image_forward(model)
+    os.makedirs(os.path.dirname(args.out_file) or ".", exist_ok=True)
+    bs = args.batch_size
+    with open(args.out_file, "w") as f:
+        for start in range(0, len(items), bs):
+            chunk = items[start : start + bs]
+            frames, metas = [], []
+            for img_id, path in chunk:
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                h, w, _ = img.shape
+                frames.append(cv2.resize(img, (cfg.size, cfg.size)))
+                metas.append((img_id, (h, w)))
+            batch = np.stack(frames).astype(np.uint8)
+            if len(batch) < bs:
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - len(batch),) + batch.shape[1:], np.uint8)]
+                )
+            det = forward(params, jnp.asarray(batch))
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            classes = np.asarray(det.classes)
+            for bi, (img_id, (h, w)) in enumerate(metas):
+                f.write(f"GROUND TRUTH FOR: {img_id}\n")
+                keep = scores[bi] >= args.visual_thresh
+                for b, s, c in zip(boxes[bi][keep], scores[bi][keep], classes[bi][keep]):
+                    x1, y1, x2, y2 = b * [w, h, w, h]
+                    f.write(
+                        f"PREDICTION: label: {class_names[int(c) - 1]} "
+                        f"score: {s:.4f} box: {x1:.1f} {y1:.1f} {x2:.1f} {y2:.1f}\n"
+                    )
+            print(f"{min(start + bs, len(items))}/{len(items)}", flush=True)
+    print(f"wrote {args.out_file}")
+
+
+if __name__ == "__main__":
+    main()
