@@ -6,15 +6,19 @@ detections, and compute 07-metric (or continuous) AP + mAP. Unlike the
 reference's batch=1 host loop, frames are batched and pre/post-processing run
 inside the jitted graph; only the final (top_k, 5) detections come back.
 
-Example:
-    python eval.py --dataset voc_320 --data_root /data/VOCdevkit \
-        --checkpoint weights/ --batch_size 32
+Temporal (TDRN) VID evaluation (``--temporal``) streams each snippet's frames
+in order through carried HBM state, with snippets continuously batched onto S
+parallel stream lanes (tdrn_tpu/eval/runner.py).
+
+Examples:
+    python eval.py --dataset voc_320 --data_root /data/VOCdevkit --checkpoint weights/
+    python eval.py --dataset vid_320 --data_root /data/ILSVRC --checkpoint weights/ \
+        --temporal --batch_size 8
 """
 
 from __future__ import annotations
 
 import argparse
-from collections import defaultdict
 
 import numpy as np
 
@@ -26,7 +30,8 @@ def parse_args():
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
     ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
     ap.add_argument("--batch_size", type=int, default=32)
-    ap.add_argument("--temporal", action="store_true", help="VID temporal (clip) eval")
+    ap.add_argument("--temporal", action="store_true", help="VID temporal (snippet-streaming) eval")
+    ap.add_argument("--split", default=None, help="VID split (default val) / VOC year:split")
     ap.add_argument("--score_thresh", type=float, default=0.01)
     ap.add_argument("--use_07_metric", action="store_true", default=True)
     ap.add_argument("--results_dir", default=None, help="write VOC-format det files")
@@ -38,12 +43,12 @@ def main():
     args = parse_args()
     import cv2
     import jax
-    import jax.numpy as jnp
 
     from tdrn_tpu.config import get_config
     from tdrn_tpu.data import VOC_CLASSES, VID_CLASSES, VOCDetection, VIDDetection
     from tdrn_tpu.eval import evaluate_detections, write_voc_results_files
-    from tdrn_tpu.inference import make_single_image_forward
+    from tdrn_tpu.eval.runner import finalize, run_batched, run_streaming
+    from tdrn_tpu.inference import StreamingDetector, make_single_image_forward
     from tdrn_tpu.models import build_detector
     from tdrn_tpu.train import init_train_state, make_optimizer
     from tdrn_tpu.train.checkpoint import CheckpointManager
@@ -53,7 +58,6 @@ def main():
     class_names = VID_CLASSES if is_vid else VOC_CLASSES
     model = build_detector(cfg, backbone=args.backbone, temporal=args.temporal)
 
-    # Restore params from the checkpoint directory.
     opt = make_optimizer()
     ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
     mgr = CheckpointManager(args.checkpoint)
@@ -63,56 +67,65 @@ def main():
     params = restored.params
     print(f"restored step {int(restored.step)}")
 
-    if is_vid:
-        dataset = VIDDetection(args.data_root, "val", mode="frame", transform=None)
-        get_raw = lambda i: dataset._load_frame(*dataset.frames[i]) + (np.zeros(0, bool), str(i))
-    else:
-        dataset = VOCDetection(
-            args.data_root, image_sets=(("2007", "test"),), keep_difficult=True
-        )
-        get_raw = dataset.raw_item
-
-    forward = make_single_image_forward(model)
-    n = len(dataset) if args.max_images == 0 else min(args.max_images, len(dataset))
-
     all_gt = {}
-    all_dets = defaultdict(lambda: defaultdict(lambda: ([], [])))
-    bs = args.batch_size
-    for start in range(0, n, bs):
-        idxs = range(start, min(start + bs, n))
-        frames, metas = [], []
-        for i in idxs:
-            img, boxes, labels, difficult, img_id = get_raw(i)
-            h, w, _ = img.shape
-            frames.append(cv2.resize(img, (cfg.size, cfg.size)))
-            metas.append((img_id, (h, w)))
+
+    def prep(img):
+        return cv2.resize(img, (cfg.size, cfg.size)).astype(np.uint8)
+
+    if is_vid:
+        split = args.split or "val"
+        dataset = VIDDetection(args.data_root, split, mode="frame", transform=None)
+        if args.temporal:
+            # snippet-ordered items for streaming eval
+            snippets = []
+            count = 0
+            for rel, stems in dataset.snippets:
+                snip = []
+                for stem in stems:
+                    img, boxes, labels = dataset._load_frame(rel, stem)
+                    img_id = f"{rel}/{stem}"
+                    all_gt[img_id] = (boxes, labels, np.zeros(len(labels), bool))
+                    snip.append((img_id, img.shape[:2], prep(img)))
+                    count += 1
+                    if args.max_images and count >= args.max_images:
+                        break
+                snippets.append(snip)
+                if args.max_images and count >= args.max_images:
+                    break
+            det = StreamingDetector(model, params, num_streams=args.batch_size)
+            accum = run_streaming(det, snippets, args.score_thresh)
+        else:
+            items = []
+            n = len(dataset.frames) if not args.max_images else min(
+                args.max_images, len(dataset.frames)
+            )
+            for i in range(n):
+                rel, stem = dataset.frames[i]
+                img, boxes, labels = dataset._load_frame(rel, stem)
+                img_id = f"{rel}/{stem}"
+                all_gt[img_id] = (boxes, labels, np.zeros(len(labels), bool))
+                items.append((img_id, img.shape[:2], prep(img)))
+            forward = make_single_image_forward(model)
+            accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
+    else:
+        if args.split:
+            year, split = args.split.split(":")
+            sets = ((year, split),)
+        else:
+            sets = (("2007", "test"),)
+        dataset = VOCDetection(args.data_root, image_sets=sets, keep_difficult=True)
+        n = len(dataset) if not args.max_images else min(args.max_images, len(dataset))
+        items = []
+        for i in range(n):
+            img, boxes, labels, difficult, img_id = dataset.raw_item(i)
             if len(difficult) != len(labels):
                 difficult = np.zeros(len(labels), bool)
             all_gt[img_id] = (boxes, labels, difficult)
-        batch = np.stack(frames).astype(np.uint8)
-        if len(batch) < bs:  # pad to static shape
-            batch = np.concatenate([batch, np.zeros((bs - len(batch),) + batch.shape[1:], np.uint8)])
-        det = forward(params, jnp.asarray(batch))
-        det_boxes = np.asarray(det.boxes)
-        det_scores = np.asarray(det.scores)
-        det_classes = np.asarray(det.classes)
-        for bi, (img_id, (h, w)) in enumerate(metas):
-            keep = det_scores[bi] >= args.score_thresh
-            b = det_boxes[bi][keep] * np.asarray([w, h, w, h], np.float32)
-            s = det_scores[bi][keep]
-            c = det_classes[bi][keep] - 1  # back to 0-based object classes
-            for ci in np.unique(c):
-                sel = c == ci
-                bl, sl = all_dets[int(ci)][img_id]
-                bl.extend(b[sel])
-                sl.extend(s[sel])
-        if (start // bs) % 20 == 0:
-            print(f"{start + len(metas)}/{n} images", flush=True)
+            items.append((img_id, img.shape[:2], prep(img)))
+        forward = make_single_image_forward(model)
+        accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
 
-    dets_np = {
-        ci: {k: (np.asarray(v[0]).reshape(-1, 4), np.asarray(v[1])) for k, v in d.items()}
-        for ci, d in all_dets.items()
-    }
+    dets_np = finalize(accum)
     aps = evaluate_detections(all_gt, dets_np, class_names, use_07_metric=args.use_07_metric)
     for name in class_names:
         print(f"AP {name}: {aps[name]:.4f}")
