@@ -26,11 +26,13 @@ from tdrn_tpu.ops.detection import RawPredictions
 Dtype = Any
 
 
-def _build_backbone(name: str, dtype, width_mult: float = 1.0):
+def _build_backbone(name: str, dtype, width_mult: float = 1.0, stem: str = "conv"):
     if name == "vgg16":
         from tdrn_tpu.models.vgg import VGG16Reduced
 
-        return VGG16Reduced(dtype=dtype, width_mult=width_mult, name="backbone")
+        return VGG16Reduced(
+            dtype=dtype, width_mult=width_mult, stem=stem, name="backbone"
+        )
     if name == "resnet101":
         from tdrn_tpu.models.resnet import ResNetBackbone
 
@@ -51,6 +53,7 @@ class TDRN(nn.Module):
     arm_guided_sampling: bool = True
     tcb_channels: int = 256
     width_mult: float = 1.0
+    stem: str = "conv"  # "s2d" = space-to-depth stem (models/vgg.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +62,7 @@ class TDRN(nn.Module):
     ) -> Tuple[RawPredictions, Optional[State]]:
         """x: (B, size, size, 3) preprocessed frames (NHWC, mean-subtracted)."""
         cfg = self.cfg
-        sources = _build_backbone(self.backbone, self.dtype, self.width_mult)(x)
+        sources = _build_backbone(self.backbone, self.dtype, self.width_mult, self.stem)(x)
         assert len(sources) == len(cfg.feature_maps)
         # L2Norm the two shallow scales (reference inits: 10 and 8).
         sources[0] = L2Norm(10.0, dtype=self.dtype, name="l2norm0")(sources[0])
@@ -110,6 +113,7 @@ def build_detector(
     tcb_channels: int = 256,
     width_mult: float = 1.0,
     arm_guided_sampling: bool = True,
+    stem: str = "conv",
 ) -> TDRN:
     """Equivalent of the reference's ``build_net`` (SURVEY.md L4)."""
     return TDRN(
@@ -119,5 +123,6 @@ def build_detector(
         arm_guided_sampling=arm_guided_sampling,
         tcb_channels=tcb_channels,
         width_mult=width_mult,
+        stem=stem,
         dtype=dtype,
     )

@@ -39,11 +39,21 @@ class VGG16Reduced(nn.Module):
 
     dtype: Dtype = jnp.float32
     width_mult: float = 1.0
+    # stem="s2d": space-to-depth the input 2x and run stage 1 at half spatial
+    # resolution with 4x input channels, skipping pool1. Identical downstream
+    # geometry, ~4x less activation traffic on the two most bandwidth-bound
+    # layers (the classic TPU early-conv trick). Train-from-scratch only (not
+    # weight-compatible with the reference stem).
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         w = lambda c: max(8, int(c * self.width_mult))
         sources = []
+        if self.stem == "s2d":
+            b, h, wd, c = x.shape
+            x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
         for si, (n, ch) in enumerate(_STAGES):
             for ci in range(n):
                 x = conv3x3(w(ch), dtype=self.dtype, name=f"conv{si + 1}_{ci + 1}")(x)
@@ -52,7 +62,9 @@ class VGG16Reduced(nn.Module):
                 sources.append(x)
             if si == 4:  # conv5_3 output (pre-pool5)
                 sources.append(x)
-            if si < 4:
+            if si == 0 and self.stem == "s2d":
+                pass  # stage 1 already ran at half resolution; skip pool1
+            elif si < 4:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # pool5: stride-2 (RefineDet geometry: fc7 scale = size/32).
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
