@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--config", default="vid_320", help="detector config name")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
+    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,10 @@ def main():
 
     cfg = get_config(args.config)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = build_detector(cfg, backbone=args.backbone, temporal=True, dtype=dtype)
+    model = build_detector(
+        cfg, backbone=args.backbone, temporal=True, dtype=dtype,
+        stem=args.stem, temporal_cell=args.cell,
+    )
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), dtype)
     params = model.init(rng, x, model.zero_state(args.batch))
@@ -99,6 +104,8 @@ def main():
         "batch": args.batch,
         "dtype": args.dtype,
         "backbone": args.backbone,
+        "stem": args.stem,
+        "cell": args.cell,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

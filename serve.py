@@ -1,0 +1,156 @@
+"""Inference server (CLI).
+
+Production-serving surface over the micro-batching scheduler
+(tdrn_tpu/serving.py): a small stdlib HTTP server where concurrent clients
+post JPEG frames for independent video streams and get JSON detections;
+temporal state per stream stays resident in its HBM lane between requests.
+
+    POST /detect?stream=<id>&thresh=0.4   body: JPEG bytes -> JSON detections
+    POST /reset?stream=<id>               reset a stream's temporal state
+    GET  /healthz                         liveness + stats
+
+Example:
+    python serve.py --checkpoint weights/ --port 8000 --lanes 8
+    curl -X POST --data-binary @frame.jpg "localhost:8000/detect?stream=cam1"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="TDRN-TPU inference server")
+    ap.add_argument("--dataset", default="vid_320")
+    ap.add_argument("--backbone", default="vgg16")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--lanes", type=int, default=8, help="concurrent stream lanes")
+    ap.add_argument("--window_ms", type=float, default=3.0, help="micro-batch window")
+    ap.add_argument("--random_init", action="store_true",
+                    help="serve an untrained model (smoke testing)")
+    ap.add_argument("--mode", default="sync", choices=["sync", "threaded"],
+                    help="sync: single-threaded HTTP, detect inline on the "
+                         "main thread (required on the axon dev tunnel); "
+                         "threaded: micro-batched dispatcher + concurrent "
+                         "handlers (co-located deployments)")
+    return ap.parse_args()
+
+
+def build_server(args):
+    import jax
+
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.data import VID_CLASSES, VOC_CLASSES
+    from tdrn_tpu.inference import StreamingDetector
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.serving import InferenceServer
+    from tdrn_tpu.train import init_train_state, make_optimizer
+    from tdrn_tpu.train.checkpoint import CheckpointManager
+
+    cfg = get_config(args.dataset)
+    class_names = VID_CLASSES if args.dataset.startswith("vid") else VOC_CLASSES
+    model = build_detector(cfg, backbone=args.backbone, temporal=True)
+    ts = init_train_state(model, jax.random.PRNGKey(0), make_optimizer(), batch=1)
+    if args.random_init:
+        params = ts.params
+    else:
+        restored = CheckpointManager(args.checkpoint).restore_latest(ts)
+        if restored is None:
+            raise SystemExit(f"no checkpoint in {args.checkpoint}")
+        params = restored.params
+    det = StreamingDetector(model, params, num_streams=args.lanes)
+    return (
+        InferenceServer(
+            det, window_ms=args.window_ms, dispatch_thread=(args.mode == "threaded")
+        ),
+        class_names,
+    )
+
+
+def main():
+    import faulthandler, signal
+
+    faulthandler.register(signal.SIGUSR1)
+    args = parse_args()
+    server, class_names = build_server(args)
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"ok": True, "steps": server.steps, "frames": server.frames})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            stream = q.get("stream", ["default"])[0]
+            if url.path == "/reset":
+                server.reset_stream(stream)
+                self._json(200, {"ok": True})
+                return
+            if url.path != "/detect":
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+            if img is None:
+                self._json(400, {"error": "could not decode image"})
+                return
+            h, w = img.shape[:2]
+            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            thresh = float(q.get("thresh", ["0.3"])[0])
+            if args.mode == "sync":
+                boxes, scores, classes = server.submit_sync(stream, rgb)
+            else:
+                boxes, scores, classes = server.submit(stream, rgb)
+            keep = scores >= thresh
+            dets = [
+                {
+                    "box": [float(v) for v in (b * [w, h, w, h])],
+                    "score": float(s),
+                    "class": class_names[int(c) - 1],
+                }
+                for b, s, c in zip(boxes[keep], scores[keep], classes[keep])
+            ]
+            self._json(200, {"stream": stream, "detections": dets})
+
+    if args.mode == "sync":
+        # Single-threaded: handlers run on the main thread; detect is inline.
+        httpd = HTTPServer((args.host, args.port), Handler)
+        print(f"serving (sync) on {args.host}:{args.port} with {args.lanes} lanes", flush=True)
+        try:
+            httpd.serve_forever()
+        finally:
+            server.close()
+    else:
+        httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+        print(f"serving (threaded) on {args.host}:{args.port} with {args.lanes} lanes", flush=True)
+        try:
+            httpd.serve_forever()
+        finally:
+            server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,23 @@ class StreamingDetector:
         model, cfg, top_k = self.model, self.cfg, self.top_k
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, state, frames_u8, reset):
+        def step(params, state, frames_u8, reset, active):
             x = preprocess_batch(frames_u8, cfg, model.dtype)
             if state is not None:
                 # Per-stream reset: zero this lane's carried features.
-                state = [s * (1.0 - reset[:, None, None, None]).astype(s.dtype) for s in state]
+                state = [
+                    s * (1.0 - reset[:, None, None, None]).astype(s.dtype)
+                    for s in state
+                ]
             preds, new_state = model.apply(params, x, state)
+            if state is not None:
+                # Inactive lanes (no frame this step, e.g. serving micro-
+                # batches) keep their post-reset state untouched.
+                a = active[:, None, None, None]
+                new_state = [
+                    jnp.where(a > 0, ns, s).astype(s.dtype)
+                    for ns, s in zip(new_state, state)
+                ]
             priors = prior_boxes(cfg)
             det = detect_topk(preds, priors, cfg, top_k)
             return new_state, det
@@ -78,15 +89,27 @@ class StreamingDetector:
             stream_ids = list(range(self.num_streams))
         self._pending_reset = getattr(self, "_pending_reset", set()) | set(stream_ids)
 
-    def detect(self, frames_u8: np.ndarray) -> TopDetections:
-        """frames_u8: (S, H, W, 3) uint8 RGB. Returns fixed-shape detections."""
+    def detect(
+        self, frames_u8: np.ndarray, active: Optional[np.ndarray] = None
+    ) -> TopDetections:
+        """frames_u8: (S, H, W, 3) uint8 RGB. Returns fixed-shape detections.
+
+        active: optional (S,) 0/1 mask — lanes with 0 do not advance their
+        temporal state this step (their detections are garbage; callers that
+        pass ``active`` must ignore those lanes' outputs).
+        """
         pending = getattr(self, "_pending_reset", set())
         reset = np.zeros((self.num_streams,), np.float32)
         for i in pending:
             reset[i] = 1.0
         self._pending_reset = set()
+        if active is None:
+            active_arr = jnp.ones((self.num_streams,), jnp.float32)
+        else:
+            active_arr = jnp.asarray(active, jnp.float32)
         self._state, det = self._step(
-            self.params, self._state, jnp.asarray(frames_u8), jnp.asarray(reset)
+            self.params, self._state, jnp.asarray(frames_u8), jnp.asarray(reset),
+            active_arr,
         )
         return det
 

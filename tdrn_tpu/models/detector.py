@@ -54,6 +54,7 @@ class TDRN(nn.Module):
     tcb_channels: int = 256
     width_mult: float = 1.0
     stem: str = "conv"  # "s2d" = space-to-depth stem (models/vgg.py)
+    temporal_cell: str = "convgru"  # or "light" (models/temporal.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -84,7 +85,8 @@ class TDRN(nn.Module):
         new_state: Optional[State] = None
         if self.temporal:
             feats, new_state = TemporalPropagation(
-                len(feats), self.tcb_channels, dtype=self.dtype, name="temporal"
+                len(feats), self.tcb_channels, cell=self.temporal_cell,
+                dtype=self.dtype, name="temporal",
             )(feats, state)
 
         odm_loc, odm_conf = MultiBoxHead(
@@ -114,6 +116,7 @@ def build_detector(
     width_mult: float = 1.0,
     arm_guided_sampling: bool = True,
     stem: str = "conv",
+    temporal_cell: str = "convgru",
 ) -> TDRN:
     """Equivalent of the reference's ``build_net`` (SURVEY.md L4)."""
     return TDRN(
@@ -124,5 +127,6 @@ def build_detector(
         tcb_channels=tcb_channels,
         width_mult=width_mult,
         stem=stem,
+        temporal_cell=temporal_cell,
         dtype=dtype,
     )

@@ -59,7 +59,9 @@ def nms_fixed(
         suppress = alive & (ious[i] > iou_thresh) & (ranks > i)
         return keep & ~suppress
 
-    keep = jax.lax.fori_loop(0, k, body, vals > 0.0)
+    # unroll=16: the per-iteration work is a tiny vector op, so loop overhead
+    # dominates; measured ~10% faster at batch 8 on v5e (BENCH.md).
+    keep = jax.lax.fori_loop(0, k, body, vals > 0.0, unroll=16)
     out_scores = jnp.where(keep, vals, 0.0)
     out_boxes = jnp.where(keep[:, None], cand, 0.0)
     if k < top_k:  # pad to the static contract

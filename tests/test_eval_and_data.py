@@ -135,3 +135,53 @@ class TestLoader:
         for imgs, bs, ls, vs in batches:
             assert imgs.shape == (3, 8, 8, 3)
             assert bs.shape == (3, 4, 4)
+
+
+class TestGrainLoader:
+    def test_grain_pipeline_batches(self):
+        from tdrn_tpu.data.grain_pipeline import make_grain_loader
+        from tdrn_tpu.data.voc import pad_targets
+
+        class Dummy:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                img = np.full((8, 8, 3), i, np.float32)
+                return pad_targets(
+                    img,
+                    np.asarray([[0.1, 0.1, 0.5, 0.5]], np.float32),
+                    np.asarray([1], np.int32),
+                    4,
+                )
+
+        it = make_grain_loader(
+            Dummy(), batch_size=4, num_workers=0, seed=0, shard_by_process=False
+        )
+        seen = []
+        for _, (imgs, boxes, labels, valid) in zip(range(3), it):
+            assert imgs.shape == (4, 8, 8, 3)
+            assert boxes.shape == (4, 4, 4)
+            assert (valid.sum(axis=1) == 1).all()  # one real GT per sample
+            seen.extend(imgs[:, 0, 0, 0].astype(int).tolist())
+        # deterministic shuffle from the seed covers distinct records
+        assert len(set(seen)) > 6
+
+    def test_grain_deterministic(self):
+        from tdrn_tpu.data.grain_pipeline import make_grain_loader
+        from tdrn_tpu.data.voc import pad_targets
+
+        class Dummy:
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                img = np.full((4, 4, 3), i, np.float32)
+                return pad_targets(img, np.zeros((0, 4), np.float32),
+                                   np.zeros(0, np.int32), 2)
+
+        a = [b[0][:, 0, 0, 0].tolist() for _, b in zip(range(2), make_grain_loader(
+            Dummy(), 3, 0, seed=7, shard_by_process=False))]
+        b = [b[0][:, 0, 0, 0].tolist() for _, b in zip(range(2), make_grain_loader(
+            Dummy(), 3, 0, seed=7, shard_by_process=False))]
+        assert a == b

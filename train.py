@@ -44,6 +44,10 @@ def parse_args():
     ap.add_argument("--save_every", type=int, default=5000)
     ap.add_argument("--resume", action="store_true", help="resume from latest ckpt")
     ap.add_argument("--num_workers", type=int, default=8)
+    ap.add_argument("--loader", default="threads", choices=["threads", "grain"],
+                    help="input pipeline: thread-pool or grain worker processes")
+    ap.add_argument("--temporal_cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--tensorboard", action="store_true")
@@ -74,7 +78,10 @@ def main():
 
     cfg = get_config(args.dataset)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = build_detector(cfg, backbone=args.backbone, temporal=args.clip, dtype=dtype)
+    model = build_detector(
+        cfg, backbone=args.backbone, temporal=args.clip, dtype=dtype,
+        stem=args.stem, temporal_cell=args.temporal_cell,
+    )
 
     aug = SSDAugmentation(cfg.size, cfg.pixel_means, seed=args.seed)
     if args.clip:
@@ -111,13 +118,21 @@ def main():
     step_fn = make_train_step(model, opt, clip_mode=args.clip, remat=args.remat)
     logger = MetricsLogger(args.save_folder, tensorboard=args.tensorboard, echo_every=args.log_every)
 
-    loader = make_loader(
-        dataset,
-        batch_size=args.batch_size,
-        num_workers=args.num_workers,
-        clip_mode=args.clip,
-        seed=args.seed,
-    )
+    if args.loader == "grain":
+        from tdrn_tpu.data.grain_pipeline import make_grain_loader
+
+        loader = make_grain_loader(
+            dataset, batch_size=args.batch_size, num_workers=args.num_workers,
+            clip_mode=args.clip, seed=args.seed,
+        )
+    else:
+        loader = make_loader(
+            dataset,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            clip_mode=args.clip,
+            seed=args.seed,
+        )
     t_last = time.perf_counter()
     for it, batch in zip(range(int(ts.step), args.max_iter), loader):
         images, boxes, labels, valid = batch
