@@ -9,3 +9,7 @@ from tdrn_tpu.parallel.mesh import (  # noqa: F401
     shard_batch_tree,
     replicate_tree,
 )
+from tdrn_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    global_batch_to_local,
+)

@@ -49,6 +49,9 @@ def parse_args():
     ap.add_argument("--temporal_cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (TPU pod / multi-host)")
+    ap.add_argument("--coordinator", default=None, help="host:port for multihost")
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--tensorboard", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
@@ -61,6 +64,13 @@ def main():
     args = parse_args()
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        from tdrn_tpu.parallel.distributed import init_distributed
+
+        proc = init_distributed(args.coordinator)
+        print(f"process {proc}/{jax.process_count()}, {jax.device_count()} global devices")
+        args.seed = args.seed + proc  # decorrelate per-host thread loaders
 
     from tdrn_tpu.config import get_config
     from tdrn_tpu.data import SSDAugmentation, VIDDetection, VOCDetection
