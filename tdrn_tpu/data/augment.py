@@ -123,7 +123,15 @@ def random_sample_crop(
             new_boxes = boxes[inside].copy()
             new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
             new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
-            return new_img, new_boxes, labels[inside]
+            new_labels = labels[inside]
+            # Drop degenerate slivers (clipped to <2px): their encode targets
+            # (log of ~0 extents) explode the loc loss.
+            ok = ((new_boxes[:, 2] - new_boxes[:, 0]) >= 2.0) & (
+                (new_boxes[:, 3] - new_boxes[:, 1]) >= 2.0
+            )
+            if not ok.any():
+                continue
+            return new_img, new_boxes[ok], new_labels[ok]
 
 
 def mirror(img: Array, boxes: Array, rng: np.random.Generator):
@@ -167,6 +175,11 @@ class SSDAugmentation:
         if len(boxes):
             boxes = boxes / np.asarray([w, h, w, h], np.float32)
             boxes = np.clip(boxes, 0.0, 1.0)
+            # final degenerate filter (mirrors the crop-stage one)
+            ok = ((boxes[:, 2] - boxes[:, 0]) >= 2.0 / self.size) & (
+                (boxes[:, 3] - boxes[:, 1]) >= 2.0 / self.size
+            )
+            boxes, labels = boxes[ok], labels[ok]
         return img, boxes, labels
 
 

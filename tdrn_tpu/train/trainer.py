@@ -64,14 +64,22 @@ def make_optimizer(
     warmup_steps: int = 500,
     milestones: Sequence[int] = (80_000, 100_000),
     gamma: float = 0.1,
+    grad_clip_norm: float = 10.0,
 ) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
+    """SGD+momentum with the reference schedule. grad_clip_norm adds global-norm
+    clipping (0 disables) — guards against rare loc-target spikes from extreme
+    crops; the reference trains unclipped but is also babysat by humans."""
+    parts = []
+    if grad_clip_norm and grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(
         optax.sgd(
             make_lr_schedule(base_lr, warmup_steps, milestones, gamma),
             momentum=momentum,
-        ),
+        )
     )
+    return optax.chain(*parts)
 
 
 def init_train_state(

@@ -39,6 +39,8 @@ def parse_args():
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--milestones", type=int, nargs="+", default=[80000, 100000])
     ap.add_argument("--gamma", type=float, default=0.1)
+    ap.add_argument("--grad_clip", type=float, default=10.0,
+                    help="global-norm gradient clip (0 = off)")
     ap.add_argument("--max_iter", type=int, default=120000)
     ap.add_argument("--save_folder", default="weights/")
     ap.add_argument("--save_every", type=int, default=5000)
@@ -112,7 +114,8 @@ def main():
     print(f"dataset: {len(dataset)} samples; priors: {cfg.num_priors}")
 
     opt = make_optimizer(
-        args.lr, args.momentum, args.weight_decay, args.warmup, args.milestones, args.gamma
+        args.lr, args.momentum, args.weight_decay, args.warmup, args.milestones,
+        args.gamma, grad_clip_norm=args.grad_clip,
     )
     mesh = make_mesh()
     ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt, batch=args.batch_size)
