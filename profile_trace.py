@@ -1,0 +1,70 @@
+"""Profiling entry point (CLI).
+
+Rebuild of the reference's tracing story (SURVEY.md §5.1 — wall-clock FPS
+prints) as real observability: capture a ``jax.profiler`` trace of the
+streaming step (viewable in TensorBoard / Perfetto) plus a wall-clock stage
+breakdown with proper device fencing.
+
+Example:
+    python profile_trace.py --out /tmp/tdrn_trace --frames 20
+    tensorboard --logdir /tmp/tdrn_trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Capture a profiler trace of streaming inference")
+    ap.add_argument("--config", default="vid_320")
+    ap.add_argument("--backbone", default="vgg16")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--out", default="/tmp/tdrn_trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.inference import StreamingDetector
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.utils.logging import Timer, profile_trace
+
+    cfg = get_config(args.config)
+    model = build_detector(cfg, backbone=args.backbone, temporal=True)
+    x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, model.zero_state(args.batch))
+    det = StreamingDetector(model, params, num_streams=args.batch)
+    frames = jax.device_put(
+        np.random.RandomState(0).randint(
+            0, 255, (args.batch, cfg.size, cfg.size, 3), dtype=np.uint8
+        )
+    )
+    out = det.detect(frames)
+    jax.tree.map(np.asarray, out)  # compile + sync
+
+    timer = Timer()
+    with timer.time("warm_steps", fence=None):
+        for _ in range(args.frames):
+            out = det.detect(frames)
+        jax.tree.map(np.asarray, out)
+    per = timer.times["warm_steps"] / args.frames
+    print(f"steady-state: {per * 1e3:.2f} ms/step ({args.batch / per:.0f} frames/s)")
+
+    try:
+        with profile_trace(args.out):
+            for _ in range(args.frames):
+                out = det.detect(frames)
+            jax.tree.map(np.asarray, out)
+        print(f"trace written to {args.out}")
+    except Exception as e:  # some remote transports don't support tracing
+        print(f"profiler trace unavailable on this backend: {e}")
+
+
+if __name__ == "__main__":
+    main()
