@@ -151,9 +151,11 @@ class SSDAugmentation:
       -> (float32 (size,size,3) mean-subtracted, boxes normalized xyxy, labels)
     """
 
-    def __init__(self, size: int, mean=(123.0, 117.0, 104.0), seed: Optional[int] = None):
+    def __init__(self, size: int, mean=(123.0, 117.0, 104.0), seed: Optional[int] = None,
+                 photometric: bool = True):
         self.size = size
         self.mean = mean
+        self.photometric = photometric
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, img: Array, boxes: Array, labels: Array):
@@ -164,7 +166,8 @@ class SSDAugmentation:
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.asarray(labels, np.int32)
 
-        img = photometric_distort(img, rng)
+        if self.photometric:
+            img = photometric_distort(img, rng)
         img, boxes = expand(img, boxes, self.mean, rng)
         img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
         img, boxes = mirror(img, boxes, rng)

@@ -94,3 +94,31 @@ class TestDetect:
             x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
             det, state = full(params, x, state)
         assert len(traces) == 1  # no recompilation across frames
+
+
+class TestBf16Numerics:
+    def test_bf16_detections_close_to_fp32(self):
+        """bfloat16 activations must not meaningfully perturb detections
+        (fp32 params, bf16 compute — the serving configuration)."""
+        from tests.helpers import TCB_TEST_CHANNELS
+        from tdrn_tpu.models import build_detector
+        from tdrn_tpu.ops.priors import prior_boxes
+
+        m32 = build_detector(TINY_64, temporal=True, tcb_channels=TCB_TEST_CHANNELS,
+                             width_mult=0.125, dtype=jnp.float32)
+        m16 = build_detector(TINY_64, temporal=True, tcb_channels=TCB_TEST_CHANNELS,
+                             width_mult=0.125, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = jax.jit(m32.init)(jax.random.PRNGKey(0), x, m32.zero_state(1))
+
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 30)
+        p32, _ = m32.apply(params, img, m32.zero_state(1))
+        p16, _ = m16.apply(params, img.astype(jnp.bfloat16), m16.zero_state(1))
+
+        s32 = np.asarray(jax.nn.softmax(p32.odm_conf, -1))
+        s16 = np.asarray(jax.nn.softmax(p16.odm_conf, -1))
+        # class scores agree to bf16 tolerance; argmax classes mostly agree
+        assert np.abs(s32 - s16).max() < 0.15
+        agree = (s32.argmax(-1) == s16.argmax(-1)).mean()
+        assert agree > 0.95, agree

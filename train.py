@@ -41,6 +41,8 @@ def parse_args():
     ap.add_argument("--gamma", type=float, default=0.1)
     ap.add_argument("--grad_clip", type=float, default=10.0,
                     help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--no_photometric", action="store_true",
+                    help="disable photometric distortion (color-sensitive data)")
     ap.add_argument("--max_iter", type=int, default=120000)
     ap.add_argument("--save_folder", default="weights/")
     ap.add_argument("--save_every", type=int, default=5000)
@@ -95,7 +97,8 @@ def main():
         stem=args.stem, temporal_cell=args.temporal_cell,
     )
 
-    aug = SSDAugmentation(cfg.size, cfg.pixel_means, seed=args.seed)
+    aug = SSDAugmentation(cfg.size, cfg.pixel_means, seed=args.seed,
+                          photometric=not args.no_photometric)
     if args.clip:
         dataset = VIDDetection(
             args.data_root, "train", mode="clip", seq_len=args.seq_len, transform=aug
