@@ -8,12 +8,22 @@ host-side transforms (the geometric ops are data-dependent and belong on the
 CPU feeding pipeline — grain workers — not in the jitted graph); the *eval*
 path's resize/normalize lives on-device in ``ops/preprocess.py`` instead.
 
-All randomness is explicit via a passed ``np.random.Generator`` so augmented
-pipelines are reproducible and shardable across loader workers.
+The pipeline is split into **sample** (draw every random parameter) and
+**apply** (deterministic given an ``AugmentParams``) stages. Two reasons:
+
+  * VID *clip* training must augment all ``seq_len`` frames of one clip with
+    the SAME geometry — the reference trains its temporal module on spatially
+    coherent sequences (SURVEY.md §3.1), so one parameter set is drawn per
+    clip and applied to each frame (``data/vid.py``).
+  * Thread-/worker-safety: randomness flows through an explicit
+    ``np.random.Generator`` argument, so concurrent loader workers each use
+    their own per-sample generator (seeded from (seed, salt, index)) instead
+    of racing on one shared bit generator.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import numpy as np
@@ -21,51 +31,89 @@ import numpy as np
 Array = np.ndarray
 
 # IoU-constraint choices for the random crop (reference's sample options):
-# each entry is (min_iou, max_iou); None = no constraint; "keep" = no crop.
+# each entry is (min_iou); None = no crop; "any" = unconstrained crop.
 _CROP_MODES = (None, 0.1, 0.3, 0.7, 0.9, "any")
+
+
+# ---------------------------------------------------------------------------
+# Photometric distortion
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotoParams:
+    """One draw of the photometric-distortion randomness."""
+
+    brightness: Optional[float]  # additive delta, or None
+    contrast: Optional[float]  # multiplicative factor, or None
+    contrast_first: bool  # reference randomizes contrast-vs-HSV order
+    saturation: Optional[float]
+    hue: Optional[float]  # degrees in [-18, 18] (OpenCV H range 0..180)
+    perm: Optional[Tuple[int, int, int]]  # channel shuffle
+
+
+def sample_photo(rng: np.random.Generator) -> PhotoParams:
+    return PhotoParams(
+        brightness=float(rng.uniform(-32, 32)) if rng.random() < 0.5 else None,
+        contrast_first=bool(rng.random() < 0.5),
+        contrast=float(rng.uniform(0.5, 1.5)) if rng.random() < 0.5 else None,
+        saturation=float(rng.uniform(0.5, 1.5)) if rng.random() < 0.5 else None,
+        hue=float(rng.uniform(-18, 18)) if rng.random() < 0.5 else None,
+        perm=tuple(int(i) for i in rng.permutation(3)) if rng.random() < 0.5 else None,
+    )
+
+
+def apply_photo(img: Array, p: PhotoParams) -> Array:
+    """Deterministic photometric distortion. img: float32 RGB HWC."""
+    img = img.copy()
+    if p.brightness is not None:
+        img += p.brightness
+    if p.contrast_first and p.contrast is not None:
+        img *= p.contrast
+    if p.saturation is not None or p.hue is not None:
+        import cv2
+
+        hsv = cv2.cvtColor(
+            np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+        ).astype(np.float32)
+        if p.saturation is not None:
+            hsv[..., 1] = np.clip(hsv[..., 1] * p.saturation, 0, 255)
+        if p.hue is not None:
+            hsv[..., 0] = (hsv[..., 0] + p.hue) % 180
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+    if not p.contrast_first and p.contrast is not None:
+        img *= p.contrast
+    if p.perm is not None:
+        img = img[..., list(p.perm)]
+    return np.clip(img, 0, 255)
 
 
 def photometric_distort(img: Array, rng: np.random.Generator) -> Array:
     """Random brightness/contrast/saturation/hue/channel-swap. img: float32 RGB HWC."""
-    img = img.copy()
-    # brightness
+    return apply_photo(img, sample_photo(rng))
+
+
+# ---------------------------------------------------------------------------
+# Expand (zoom-out onto a mean canvas)
+# ---------------------------------------------------------------------------
+
+ExpandParams = Tuple[float, float, float]  # (ratio, left, top) in pixels
+
+
+def sample_expand(h: int, w: int, rng: np.random.Generator) -> Optional[ExpandParams]:
     if rng.random() < 0.5:
-        img += rng.uniform(-32, 32)
-    # contrast (order randomized like the reference's two distort orders)
-    contrast_first = rng.random() < 0.5
-    if contrast_first and rng.random() < 0.5:
-        img *= rng.uniform(0.5, 1.5)
-    # saturation/hue in HSV
-    if rng.random() < 0.5 or rng.random() < 0.5:
-        import cv2
-
-        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(
-            np.float32
-        )
-        if rng.random() < 0.5:
-            hsv[..., 1] *= rng.uniform(0.5, 1.5)
-        if rng.random() < 0.5:
-            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-18, 18)) % 180
-        hsv[..., 1] = np.clip(hsv[..., 1], 0, 255)
-        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
-    if not contrast_first and rng.random() < 0.5:
-        img *= rng.uniform(0.5, 1.5)
-    # lighting noise: random channel permutation
-    if rng.random() < 0.5:
-        img = img[..., rng.permutation(3)]
-    return np.clip(img, 0, 255)
+        return None
+    ratio = float(rng.uniform(1.0, 4.0))
+    left = float(rng.uniform(0, w * ratio - w))
+    top = float(rng.uniform(0, h * ratio - h))
+    return (ratio, left, top)
 
 
-def expand(
-    img: Array, boxes: Array, mean: Tuple[float, float, float], rng: np.random.Generator
+def apply_expand(
+    img: Array, boxes: Array, p: ExpandParams, mean: Tuple[float, float, float]
 ) -> Tuple[Array, Array]:
-    """Place the image on a larger mean-filled canvas (zoom-out), p=0.5."""
-    if rng.random() < 0.5:
-        return img, boxes
+    ratio, left, top = p
     h, w, c = img.shape
-    ratio = rng.uniform(1.0, 4.0)
-    left = rng.uniform(0, w * ratio - w)
-    top = rng.uniform(0, h * ratio - h)
     canvas = np.empty((int(h * ratio), int(w * ratio), c), img.dtype)
     canvas[...] = mean
     canvas[int(top) : int(top) + h, int(left) : int(left) + w] = img
@@ -74,6 +122,22 @@ def expand(
         boxes[:, 0::2] += left
         boxes[:, 1::2] += top
     return canvas, boxes
+
+
+def expand(
+    img: Array, boxes: Array, mean: Tuple[float, float, float], rng: np.random.Generator
+) -> Tuple[Array, Array]:
+    """Place the image on a larger mean-filled canvas (zoom-out), p=0.5."""
+    h, w, _ = img.shape
+    p = sample_expand(h, w, rng)
+    if p is None:
+        return img, boxes
+    return apply_expand(img, boxes, p, mean)
+
+
+# ---------------------------------------------------------------------------
+# IoU-constrained random crop
+# ---------------------------------------------------------------------------
 
 
 def _iou_1toN(box: Array, boxes: Array) -> Array:
@@ -87,17 +151,18 @@ def _iou_1toN(box: Array, boxes: Array) -> Array:
     return inter / np.maximum(a + b - inter, 1e-12)
 
 
-def random_sample_crop(
-    img: Array, boxes: Array, labels: Array, rng: np.random.Generator, max_trials: int = 50
-):
-    """IoU-constrained random crop keeping boxes whose centers fall inside."""
+def sample_crop_rect(
+    shape: Tuple[int, ...], boxes: Array, rng: np.random.Generator, max_trials: int = 50
+) -> Optional[Array]:
+    """Draw an IoU-constrained crop rect against ``boxes`` (the clip's
+    reference frame in clip mode). None = keep the full image."""
     if len(boxes) == 0:
-        return img, boxes, labels
-    h, w, _ = img.shape
+        return None
+    h, w = shape[0], shape[1]
     while True:
         mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
         if mode is None:
-            return img, boxes, labels
+            return None
         min_iou = 0.0 if mode == "any" else float(mode)
         for _ in range(max_trials):
             cw = rng.uniform(0.3 * w, w)
@@ -119,36 +184,93 @@ def random_sample_crop(
             )
             if not inside.any():
                 continue
-            new_img = img[int(rect[1]) : int(rect[3]), int(rect[0]) : int(rect[2])]
-            new_boxes = boxes[inside].copy()
-            new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
-            new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
-            new_labels = labels[inside]
-            # Drop degenerate slivers (clipped to <2px): their encode targets
-            # (log of ~0 extents) explode the loc loss.
-            ok = ((new_boxes[:, 2] - new_boxes[:, 0]) >= 2.0) & (
-                (new_boxes[:, 3] - new_boxes[:, 1]) >= 2.0
+            clipped = boxes[inside].copy()
+            clipped[:, :2] = np.maximum(clipped[:, :2], rect[:2]) - rect[:2]
+            clipped[:, 2:] = np.minimum(clipped[:, 2:], rect[2:]) - rect[:2]
+            # Require at least one non-degenerate surviving box (see apply_crop).
+            ok = ((clipped[:, 2] - clipped[:, 0]) >= 2.0) & (
+                (clipped[:, 3] - clipped[:, 1]) >= 2.0
             )
             if not ok.any():
                 continue
-            return new_img, new_boxes[ok], new_labels[ok]
+            return rect
+
+
+def apply_crop(img: Array, boxes: Array, labels: Array, rect: Array):
+    """Crop to ``rect``, keeping boxes whose centers fall inside (may keep
+    none — a clip's non-reference frames can legitimately lose all boxes)."""
+    new_img = img[int(rect[1]) : int(rect[3]), int(rect[0]) : int(rect[2])]
+    if len(boxes) == 0:
+        return new_img, boxes, labels
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+    inside = (
+        (centers[:, 0] > rect[0])
+        & (centers[:, 1] > rect[1])
+        & (centers[:, 0] < rect[2])
+        & (centers[:, 1] < rect[3])
+    )
+    new_boxes = boxes[inside].copy()
+    new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2]) - rect[:2]
+    new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:]) - rect[:2]
+    new_labels = labels[inside]
+    # Drop degenerate slivers (clipped to <2px): their encode targets
+    # (log of ~0 extents) explode the loc loss.
+    ok = ((new_boxes[:, 2] - new_boxes[:, 0]) >= 2.0) & (
+        (new_boxes[:, 3] - new_boxes[:, 1]) >= 2.0
+    )
+    return new_img, new_boxes[ok], new_labels[ok]
+
+
+def random_sample_crop(
+    img: Array, boxes: Array, labels: Array, rng: np.random.Generator, max_trials: int = 50
+):
+    """IoU-constrained random crop keeping boxes whose centers fall inside."""
+    rect = sample_crop_rect(img.shape, boxes, rng, max_trials)
+    if rect is None:
+        return img, boxes, labels
+    return apply_crop(img, boxes, labels, rect)
 
 
 def mirror(img: Array, boxes: Array, rng: np.random.Generator):
     if rng.random() < 0.5:
-        _, w, _ = img.shape
-        img = img[:, ::-1]
-        if len(boxes):
-            boxes = boxes.copy()
-            boxes[:, 0::2] = w - boxes[:, 2::-2]
+        return apply_mirror(img, boxes)
     return img, boxes
+
+
+def apply_mirror(img: Array, boxes: Array):
+    _, w, _ = img.shape
+    img = img[:, ::-1]
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, 0::2] = w - boxes[:, 2::-2]
+    return img, boxes
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentParams:
+    """One complete draw of the SSDAugmentation randomness (per image, or per
+    clip when shared across a VID training sequence)."""
+
+    photo: Optional[PhotoParams]
+    expand: Optional[ExpandParams]
+    crop_rect: Optional[np.ndarray]  # in post-expand pixel coords
+    mirror: bool
 
 
 class SSDAugmentation:
     """Full train-time pipeline (reference ``SSDAugmentation`` semantics).
 
-    __call__(img uint8 RGB HWC, boxes pixel xyxy (N,4), labels (N,))
+    __call__(img uint8 RGB HWC, boxes pixel xyxy (N,4), labels (N,), rng=None)
       -> (float32 (size,size,3) mean-subtracted, boxes normalized xyxy, labels)
+
+    ``rng`` defaults to the instance generator for single-threaded use; loader
+    workers pass an explicit per-sample generator. ``sample_params``/``apply``
+    expose the two stages for clip-consistent VID augmentation.
     """
 
     def __init__(self, size: int, mean=(123.0, 117.0, 104.0), seed: Optional[int] = None,
@@ -158,19 +280,42 @@ class SSDAugmentation:
         self.photometric = photometric
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, img: Array, boxes: Array, labels: Array):
+    def sample_params(
+        self, shape: Tuple[int, ...], boxes: Array, rng: np.random.Generator
+    ) -> AugmentParams:
+        """Draw all randomness against one reference frame's shape + boxes."""
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        photo = sample_photo(rng) if self.photometric else None
+        h, w = shape[0], shape[1]
+        ep = sample_expand(h, w, rng)
+        if ep is not None:
+            _, left, top = ep
+            eboxes = boxes.copy()
+            if len(eboxes):
+                eboxes[:, 0::2] += left
+                eboxes[:, 1::2] += top
+            eshape = (int(h * ep[0]), int(w * ep[0]))
+        else:
+            eboxes, eshape = boxes, (h, w)
+        rect = sample_crop_rect(eshape, eboxes, rng)
+        return AugmentParams(photo, ep, rect, bool(rng.random() < 0.5))
+
+    def apply(self, img: Array, boxes: Array, labels: Array, p: AugmentParams):
+        """Deterministically apply a parameter draw to one frame."""
         import cv2
 
-        rng = self.rng
         img = img.astype(np.float32)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.asarray(labels, np.int32)
 
-        if self.photometric:
-            img = photometric_distort(img, rng)
-        img, boxes = expand(img, boxes, self.mean, rng)
-        img, boxes, labels = random_sample_crop(img, boxes, labels, rng)
-        img, boxes = mirror(img, boxes, rng)
+        if p.photo is not None:
+            img = apply_photo(img, p.photo)
+        if p.expand is not None:
+            img, boxes = apply_expand(img, boxes, p.expand, self.mean)
+        if p.crop_rect is not None:
+            img, boxes, labels = apply_crop(img, boxes, labels, p.crop_rect)
+        if p.mirror:
+            img, boxes = apply_mirror(img, boxes)
 
         h, w, _ = img.shape
         img = cv2.resize(img, (self.size, self.size)).astype(np.float32)
@@ -184,6 +329,12 @@ class SSDAugmentation:
             )
             boxes, labels = boxes[ok], labels[ok]
         return img, boxes, labels
+
+    def __call__(self, img: Array, boxes: Array, labels: Array,
+                 rng: Optional[np.random.Generator] = None):
+        rng = self.rng if rng is None else rng
+        params = self.sample_params(img.shape, boxes, rng)
+        return self.apply(img, boxes, labels, params)
 
 
 class BaseTransform:

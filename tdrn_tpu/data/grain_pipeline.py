@@ -18,30 +18,18 @@ from typing import Any, Optional
 import numpy as np
 
 
-class _SampleSource:
-    """Adapt a framework dataset to grain's RandomAccessDataSource protocol."""
+class _IndexSource:
+    """Record i IS the index i; fetching/augmenting happens in the transform
+    below so grain can hand it a per-record random generator."""
 
-    def __init__(self, dataset):
-        self._dataset = dataset
+    def __init__(self, n: int):
+        self._n = n
 
     def __len__(self) -> int:
-        return len(self._dataset)
+        return self._n
 
-    def __getitem__(self, index: int):
-        return self._dataset[index]
-
-
-class _CollateBatch:
-    """Stack fixed-shape samples; clip samples become (T, B, ...)."""
-
-    def __init__(self, clip_mode: bool):
-        self.clip_mode = clip_mode
-
-    def __call__(self, samples):
-        from tdrn_tpu.data.vid import collate_clips
-        from tdrn_tpu.data.voc import collate_batch
-
-        return (collate_clips if self.clip_mode else collate_batch)(samples)
+    def __getitem__(self, index: int) -> int:
+        return index
 
 
 def make_grain_loader(
@@ -69,21 +57,26 @@ def make_grain_loader(
         shard_options=sharding,
     )
 
-    class _Map(gp.MapTransform):
-        def map(self, sample):
-            return sample
+    class _FetchSample(gp.RandomMapTransform):
+        """Fetch + augment one record. grain seeds ``rng`` deterministically
+        from (loader seed, epoch, record), so augmentation is reproducible,
+        varies across epochs, and is safe under worker parallelism."""
+
+        def random_map(self, index, rng: np.random.Generator):
+            if hasattr(dataset, "sample_with_rng"):
+                return dataset.sample_with_rng(index, rng)
+            return dataset[index]
 
     loader = gp.DataLoader(
-        data_source=_SampleSource(dataset),
+        data_source=_IndexSource(len(dataset)),
         sampler=sampler,
         operations=[
+            _FetchSample(),
             gp.Batch(batch_size=batch_size, drop_remainder=True),
         ],
         worker_count=num_workers,
         read_options=gp.ReadOptions(num_threads=2, prefetch_buffer_size=64),
     )
-
-    collate = _CollateBatch(clip_mode)
 
     def batches():
         for batch in loader:

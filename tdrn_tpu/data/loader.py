@@ -45,18 +45,31 @@ class PrefetchLoader:
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
-    def _index_stream(self) -> Iterator[int]:
+    def _index_stream(self) -> Iterator[tuple]:
+        """Yields (epoch, index); the epoch salts per-sample augmentation."""
         n = len(self.dataset)
+        epoch = 0
         while True:
             for i in self.rng.permutation(n):
-                yield int(i)
+                yield epoch, int(i)
+            epoch += 1
+
+    def _fetch(self, job: tuple):
+        epoch, i = job
+        # Datasets exposing `sample(index, salt)` get a fresh per-call
+        # Generator seeded by (seed, epoch, index) — thread-safe and
+        # deterministic under the pool (numpy Generators are NOT thread-safe,
+        # so a shared instance would corrupt the stream; VERDICT.md weak #7).
+        if hasattr(self.dataset, "sample"):
+            return self.dataset.sample(i, epoch)
+        return self.dataset[i]
 
     def _produce(self):
         stream = self._index_stream()
         while not self._stop.is_set():
             try:
                 idxs = [next(stream) for _ in range(self.batch_size)]
-                samples = list(self.pool.map(self.dataset.__getitem__, idxs))
+                samples = list(self.pool.map(self._fetch, idxs))
                 batch = self.collate(samples)
             except Exception:
                 if self._stop.is_set():

@@ -79,7 +79,8 @@ class VIDDetection:
         seq_len: int = 8,
         transform: Optional[Callable] = None,
         max_gt: int = 60,
-        rng: Optional[np.random.Generator] = None,
+        rng: Optional[np.random.Generator] = None,  # legacy arg, unused
+        seed: int = 0,
     ):
         assert mode in ("frame", "clip")
         self.root = root
@@ -88,7 +89,7 @@ class VIDDetection:
         self.seq_len = seq_len
         self.transform = transform
         self.max_gt = max_gt
-        self.rng = rng or np.random.default_rng(0)
+        self.seed = seed
 
         data_dir = os.path.join(root, "Data", "VID", split)
         self.snippets: List[Tuple[str, List[str]]] = []  # (snippet_dir, frame stems)
@@ -119,28 +120,59 @@ class VIDDetection:
             labels = np.zeros((0,), np.int32)
         return img, boxes, labels
 
-    def _prepare(self, img, boxes, labels):
+    def _prepare(self, img, boxes, labels, rng: Optional[np.random.Generator] = None):
         if self.transform is not None:
-            img, boxes01, labels = self.transform(img, boxes, labels)
+            if rng is not None and hasattr(self.transform, "sample_params"):
+                img, boxes01, labels = self.transform(img, boxes, labels, rng=rng)
+            else:
+                img, boxes01, labels = self.transform(img, boxes, labels)
         else:
             h, w, _ = img.shape
             boxes01 = boxes / np.asarray([w, h, w, h], np.float32)
         return pad_targets(img, boxes01, labels, self.max_gt)
 
-    def __getitem__(self, index: int):
+    def sample_with_rng(self, index: int, rng: np.random.Generator):
+        """One sample with all randomness drawn from ``rng`` (thread-safe:
+        callers create a fresh generator per call)."""
         if self.mode == "frame":
             rel, stem = self.frames[index]
-            return self._prepare(*self._load_frame(rel, stem))
+            return self._prepare(*self._load_frame(rel, stem), rng=rng)
         rel, stems = self.snippets[index]
         t = self.seq_len
         if len(stems) >= t:
-            start = int(self.rng.integers(0, len(stems) - t + 1))
+            start = int(rng.integers(0, len(stems) - t + 1))
             chosen = stems[start : start + t]
         else:  # short snippet: repeat last frame to fill the clip
             chosen = stems + [stems[-1]] * (t - len(stems))
-        samples = [self._prepare(*self._load_frame(rel, s)) for s in chosen]
+        frames = [self._load_frame(rel, s) for s in chosen]
+        if self.transform is not None and hasattr(self.transform, "sample_params"):
+            # Clip-consistent augmentation: ONE parameter draw (photometric,
+            # expand, crop rect, mirror) applied to every frame, so the
+            # temporal module trains on spatially coherent sequences
+            # (SURVEY.md §3.1; VERDICT.md round-1 missing #3). Box-dependent
+            # draws (the IoU-constrained crop) anchor on the frame with the
+            # most ground truth; other frames keep whatever boxes survive.
+            ref = max(range(len(frames)), key=lambda i: len(frames[i][1]))
+            params = self.transform.sample_params(
+                frames[ref][0].shape, frames[ref][1], rng
+            )
+            samples = [
+                pad_targets(*self.transform.apply(img, b, l, params), self.max_gt)
+                for img, b, l in frames
+            ]
+        else:
+            samples = [self._prepare(img, b, l, rng=rng) for img, b, l in frames]
         imgs, bs, ls, vs = zip(*samples)
         return np.stack(imgs), np.stack(bs), np.stack(ls), np.stack(vs)
+
+    def sample(self, index: int, salt: int = 0):
+        """Deterministic per-(seed, salt, index) sample; the loader passes the
+        epoch as ``salt`` so augmentation varies across epochs."""
+        rng = np.random.default_rng(np.random.SeedSequence((self.seed, salt, index)))
+        return self.sample_with_rng(index, rng)
+
+    def __getitem__(self, index: int):
+        return self.sample(index, 0)
 
 
 def collate_clips(samples):

@@ -72,11 +72,13 @@ class VOCDetection:
         transform: Optional[Callable] = None,
         keep_difficult: bool = False,
         max_gt: int = 60,
+        seed: int = 0,
     ):
         self.root = root
         self.transform = transform
         self.keep_difficult = keep_difficult
         self.max_gt = max_gt
+        self.seed = seed
         self.ids: List[Tuple[str, str]] = []
         for year, split in image_sets:
             base = os.path.join(root, f"VOC{year}")
@@ -103,15 +105,29 @@ class VOCDetection:
         )
         return img, boxes, labels, difficult, img_id
 
-    def __getitem__(self, index: int):
-        """Fixed-shape padded sample for the jitted train step."""
+    def sample_with_rng(self, index: int, rng: np.random.Generator):
+        """One padded sample with all randomness drawn from ``rng`` (thread-
+        safe: callers create a fresh generator per call)."""
         img, boxes, labels, _, _ = self.raw_item(index)
         if self.transform is not None:
-            img, boxes01, labels = self.transform(img, boxes, labels)
+            if hasattr(self.transform, "sample_params"):
+                img, boxes01, labels = self.transform(img, boxes, labels, rng=rng)
+            else:
+                img, boxes01, labels = self.transform(img, boxes, labels)
         else:
             h, w, _ = img.shape
             boxes01 = boxes / np.asarray([w, h, w, h], np.float32)
         return pad_targets(img, boxes01, labels, self.max_gt)
+
+    def sample(self, index: int, salt: int = 0):
+        """Deterministic per-(seed, salt, index) sample; the loader passes the
+        epoch as ``salt`` so augmentation varies across epochs."""
+        rng = np.random.default_rng(np.random.SeedSequence((self.seed, salt, index)))
+        return self.sample_with_rng(index, rng)
+
+    def __getitem__(self, index: int):
+        """Fixed-shape padded sample for the jitted train step."""
+        return self.sample(index, 0)
 
 
 def pad_targets(img: np.ndarray, boxes01: np.ndarray, labels: np.ndarray, max_gt: int):

@@ -75,6 +75,109 @@ class TestClipMode:
         assert boxes.shape[:2] == (3, 2)
 
 
+@pytest.fixture(scope="module")
+def static_vid_root(tmp_path_factory):
+    """A snippet whose frames are IDENTICAL images+boxes: under clip-consistent
+    augmentation every augmented frame must come out identical too."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("ilsvrc_static")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+    ddir = root / "Data" / "VID" / "train" / "s"
+    adir = root / "Annotations" / "VID" / "train" / "s"
+    ddir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    for t in range(8):
+        cv2.imwrite(str(ddir / f"{t:06d}.JPEG"), img)
+        xml = """<annotation><object><trackid>0</trackid><name>n02958343</name>
+        <bndbox><xmax>70</xmax><xmin>20</xmin><ymax>80</ymax><ymin>25</ymin></bndbox>
+        </object></annotation>"""
+        (adir / f"{t:06d}.xml").write_text(xml)
+    return str(root)
+
+
+class TestClipConsistentAugment:
+    def test_all_frames_share_augmentation(self, static_vid_root):
+        """One AugmentParams per clip (SURVEY.md §3.1 seq-training semantics):
+        identical input frames must produce identical augmented frames — a
+        per-frame random crop/mirror would diverge almost surely."""
+        from tdrn_tpu.data.augment import SSDAugmentation
+
+        ds = VIDDetection(
+            static_vid_root, "train", mode="clip", seq_len=6, max_gt=5,
+            transform=SSDAugmentation(64),
+        )
+        for salt in range(8):  # different random draws incl. crops + mirrors
+            imgs, boxes, labels, valid = ds.sample(0, salt)
+            for t in range(1, imgs.shape[0]):
+                np.testing.assert_array_equal(imgs[t], imgs[0])
+                np.testing.assert_array_equal(boxes[t], boxes[0])
+                np.testing.assert_array_equal(valid[t], valid[0])
+
+    def test_salt_varies_augmentation(self, static_vid_root):
+        from tdrn_tpu.data.augment import SSDAugmentation
+
+        ds = VIDDetection(
+            static_vid_root, "train", mode="clip", seq_len=2, max_gt=5,
+            transform=SSDAugmentation(64),
+        )
+        a = ds.sample(0, 0)[0]
+        outs = [ds.sample(0, s)[0] for s in range(1, 6)]
+        assert any(not np.array_equal(a, o) for o in outs)
+
+    def test_getitem_deterministic(self, static_vid_root):
+        from tdrn_tpu.data.augment import SSDAugmentation
+
+        ds = VIDDetection(
+            static_vid_root, "train", mode="clip", seq_len=3, max_gt=5,
+            transform=SSDAugmentation(64),
+        )
+        a, b = ds[0], ds[0]
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+class TestThreadSafeLoader:
+    def test_threaded_loader_deterministic(self, vid_root):
+        """Two thread-pool loaders with the same seed yield identical batch
+        streams even with augmentation randomness (per-sample Generators
+        seeded by (seed, epoch, index) — no shared bit generator)."""
+        from tdrn_tpu.data.augment import SSDAugmentation
+        from tdrn_tpu.data.loader import make_loader
+
+        def run():
+            ds = VIDDetection(
+                vid_root, "train", mode="frame", max_gt=5,
+                transform=SSDAugmentation(32), seed=3,
+            )
+            loader = make_loader(ds, batch_size=4, num_workers=4, seed=11)
+            out = [next(loader) for _ in range(5)]
+            loader.close()
+            return out
+
+    # 13 frames / batch 4 -> 5 batches cross an epoch boundary (salt changes)
+        for a, b in zip(run(), run()):
+            for xa, xb in zip(a, b):
+                np.testing.assert_array_equal(xa, xb)
+
+    def test_grain_loader_uses_sample_with_rng(self, vid_root):
+        from tdrn_tpu.data.augment import SSDAugmentation
+        from tdrn_tpu.data.grain_pipeline import make_grain_loader
+
+        ds = VIDDetection(
+            vid_root, "train", mode="frame", max_gt=5,
+            transform=SSDAugmentation(32), seed=3,
+        )
+        def take(n=2):
+            it = make_grain_loader(ds, batch_size=4, num_workers=0, seed=5,
+                                   shard_by_process=False)
+            return [b[0] for _, b in zip(range(n), it)]
+
+        a, b = take(), take()
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+
+
 class TestNativeDecode:
     def test_native_matches_cv2(self, vid_root, tmp_path):
         from tdrn_tpu.data import native

@@ -101,14 +101,19 @@ def main():
                           photometric=not args.no_photometric)
     if args.clip:
         dataset = VIDDetection(
-            args.data_root, "train", mode="clip", seq_len=args.seq_len, transform=aug
+            args.data_root, "train", mode="clip", seq_len=args.seq_len,
+            transform=aug, seed=args.seed,
         )
     elif args.dataset.startswith("vid"):
-        dataset = VIDDetection(args.data_root, "train", mode="frame", transform=aug)
+        dataset = VIDDetection(
+            args.data_root, "train", mode="frame", transform=aug, seed=args.seed
+        )
     else:
         sets = tuple(tuple(p.split(":")) for p in args.image_sets.split(","))
         try:
-            dataset = VOCDetection(args.data_root, image_sets=sets, transform=aug)
+            dataset = VOCDetection(
+                args.data_root, image_sets=sets, transform=aug, seed=args.seed
+            )
         except FileNotFoundError as e:
             raise SystemExit(
                 f"dataset split not found under {args.data_root} "
