@@ -25,15 +25,18 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser(description="Evaluate a TDRN-TPU detector")
-    ap.add_argument("--dataset", default="voc_320")
+    ap.add_argument("--dataset", default=None,
+                    help="config name; defaults to the checkpoint's meta (else voc_320)")
     ap.add_argument("--data_root", required=True)
-    ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--backbone", default=None, choices=["vgg16", "resnet101"],
+                    help="defaults to the checkpoint's meta")
     ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--temporal", action="store_true", help="VID temporal (snippet-streaming) eval")
     ap.add_argument("--split", default=None, help="VID split (default val) / VOC year:split")
     ap.add_argument("--score_thresh", type=float, default=0.01)
-    ap.add_argument("--use_07_metric", action="store_true", default=True)
+    ap.add_argument("--use_07_metric", action=argparse.BooleanOptionalAction, default=True,
+                    help="11-point 07 AP (default) / --no-use_07_metric = continuous AP")
     ap.add_argument("--results_dir", default=None, help="write VOC-format det files")
     ap.add_argument("--max_images", type=int, default=0, help="0 = all")
     return ap.parse_args()
@@ -42,30 +45,29 @@ def parse_args():
 def main():
     args = parse_args()
     import cv2
-    import jax
 
-    from tdrn_tpu.config import get_config
     from tdrn_tpu.data import VOC_CLASSES, VID_CLASSES, VOCDetection, VIDDetection
     from tdrn_tpu.eval import evaluate_detections, write_voc_results_files
     from tdrn_tpu.eval.runner import finalize, run_batched, run_streaming
-    from tdrn_tpu.inference import StreamingDetector, make_single_image_forward
-    from tdrn_tpu.models import build_detector
-    from tdrn_tpu.train import init_train_state, make_optimizer
-    from tdrn_tpu.train.checkpoint import CheckpointManager
+    from tdrn_tpu.inference import (
+        StreamingDetector,
+        load_inference_model,
+        make_single_image_forward,
+    )
 
-    cfg = get_config(args.dataset)
-    is_vid = args.dataset.startswith("vid")
+    # Model geometry/flags come from the checkpoint's persisted meta; the CLI
+    # overrides. --temporal selects the EVAL mode explicitly (a clip-trained
+    # checkpoint restores into either mode via subtree-tolerant grafting).
+    try:
+        model, params, cfg, step, meta = load_inference_model(
+            args.checkpoint, dataset=args.dataset, backbone=args.backbone,
+            temporal=args.temporal,
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
+    is_vid = cfg.name.startswith("vid")
     class_names = VID_CLASSES if is_vid else VOC_CLASSES
-    model = build_detector(cfg, backbone=args.backbone, temporal=args.temporal)
-
-    opt = make_optimizer()
-    ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
-    mgr = CheckpointManager(args.checkpoint)
-    restored = mgr.restore_latest(ts)
-    if restored is None:
-        raise SystemExit(f"no checkpoint found in {args.checkpoint}")
-    params = restored.params
-    print(f"restored step {int(restored.step)}")
+    print(f"restored step {step}")
 
     all_gt = {}
 

@@ -18,8 +18,9 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser(description="Streaming video detection demo")
-    ap.add_argument("--dataset", default="vid_320")
-    ap.add_argument("--backbone", default="vgg16")
+    ap.add_argument("--dataset", default=None,
+                    help="config name; defaults to the checkpoint's meta (else vid_320)")
+    ap.add_argument("--backbone", default=None)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--source", default="0", help="camera index or video path")
     ap.add_argument("--out", default=None, help="write annotated video here")
@@ -31,30 +32,25 @@ def parse_args():
 def main():
     args = parse_args()
     import cv2
-    import jax
 
-    from tdrn_tpu.config import get_config
     from tdrn_tpu.data import VID_CLASSES, VOC_CLASSES
-    from tdrn_tpu.inference import StreamingDetector
-    from tdrn_tpu.models import build_detector
-    from tdrn_tpu.train import init_train_state, make_optimizer
-    from tdrn_tpu.train.checkpoint import CheckpointManager
+    from tdrn_tpu.inference import StreamingDetector, load_inference_model
 
-    cfg = get_config(args.dataset)
-    class_names = VID_CLASSES if args.dataset.startswith("vid") else VOC_CLASSES
-    model = build_detector(cfg, backbone=args.backbone, temporal=True)
-    opt = make_optimizer()
-    ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
-    restored = CheckpointManager(args.checkpoint).restore_latest(ts)
-    if restored is None:
-        raise SystemExit(f"no checkpoint in {args.checkpoint}")
+    try:
+        model, params, cfg, _, _ = load_inference_model(
+            args.checkpoint, dataset=args.dataset, backbone=args.backbone,
+            temporal=True, dataset_fallback="vid_320",
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
+    class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
 
     src = int(args.source) if args.source.isdigit() else args.source
     cap = cv2.VideoCapture(src)
     if not cap.isOpened():
         raise SystemExit(f"cannot open source {args.source}")
 
-    det = StreamingDetector(model, restored.params, num_streams=1)
+    det = StreamingDetector(model, params, num_streams=1)
     writer = None
     n, t0 = 0, time.perf_counter()
     while True:

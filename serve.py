@@ -26,8 +26,9 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser(description="TDRN-TPU inference server")
-    ap.add_argument("--dataset", default="vid_320")
-    ap.add_argument("--backbone", default="vgg16")
+    ap.add_argument("--dataset", default=None,
+                    help="config name; defaults to the checkpoint's meta (else vid_320)")
+    ap.add_argument("--backbone", default=None)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
@@ -44,27 +45,18 @@ def parse_args():
 
 
 def build_server(args):
-    import jax
-
-    from tdrn_tpu.config import get_config
     from tdrn_tpu.data import VID_CLASSES, VOC_CLASSES
-    from tdrn_tpu.inference import StreamingDetector
-    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.inference import StreamingDetector, load_inference_model
     from tdrn_tpu.serving import InferenceServer
-    from tdrn_tpu.train import init_train_state, make_optimizer
-    from tdrn_tpu.train.checkpoint import CheckpointManager
 
-    cfg = get_config(args.dataset)
-    class_names = VID_CLASSES if args.dataset.startswith("vid") else VOC_CLASSES
-    model = build_detector(cfg, backbone=args.backbone, temporal=True)
-    ts = init_train_state(model, jax.random.PRNGKey(0), make_optimizer(), batch=1)
-    if args.random_init:
-        params = ts.params
-    else:
-        restored = CheckpointManager(args.checkpoint).restore_latest(ts)
-        if restored is None:
-            raise SystemExit(f"no checkpoint in {args.checkpoint}")
-        params = restored.params
+    try:
+        model, params, cfg, _, _ = load_inference_model(
+            args.checkpoint, dataset=args.dataset, backbone=args.backbone,
+            temporal=True, random_init=args.random_init, dataset_fallback="vid_320",
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
+    class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
     det = StreamingDetector(model, params, num_streams=args.lanes)
     return (
         InferenceServer(

@@ -123,6 +123,7 @@ def run_streaming(
 
     while any(s >= 0 for s in lane_snip):
         active = []
+        active_mask = np.zeros((s_lanes,), np.float32)
         for lane in range(s_lanes):
             si = lane_snip[lane]
             if si < 0:
@@ -130,7 +131,10 @@ def run_streaming(
             img_id, hw, frame = snippets[si][lane_pos[lane]]
             frames[lane] = frame
             active.append((lane, img_id, hw))
-        det = detector.detect(frames)
+            active_mask[lane] = 1.0
+        # Drained lanes are masked inactive so their temporal state freezes
+        # instead of advancing on stale frames (their outputs are ignored).
+        det = detector.detect(frames, active=active_mask)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)

@@ -44,14 +44,12 @@ class StreamingDetector:
         model: TDRN,
         params: Any,
         num_streams: int = 1,
-        frame_hw: Optional[Tuple[int, int]] = None,
         top_k: Optional[int] = None,
     ):
         self.model = model
         self.cfg = model.cfg
         self.params = params
         self.num_streams = num_streams
-        self.frame_hw = frame_hw or (model.cfg.size, model.cfg.size)
         self.top_k = top_k or model.cfg.top_k
         self._state = model.zero_state(num_streams) if model.temporal else None
         self._step = self._build_step()
@@ -112,6 +110,77 @@ class StreamingDetector:
             active_arr,
         )
         return det
+
+
+class LoadedModel(NamedTuple):
+    model: TDRN
+    params: Any
+    cfg: DetectorConfig
+    step: int
+    meta: dict
+
+
+def load_inference_model(
+    checkpoint_dir: str,
+    *,
+    dataset: Optional[str] = None,
+    backbone: Optional[str] = None,
+    temporal: Optional[bool] = None,
+    stem: Optional[str] = None,
+    temporal_cell: Optional[str] = None,
+    tcb_channels: Optional[int] = None,
+    dtype=jnp.float32,
+    random_init: bool = False,
+    seed: int = 0,
+    verbose: bool = True,
+    dataset_fallback: str = "voc_320",
+) -> LoadedModel:
+    """Build a detector for inference from a train checkpoint directory.
+
+    Model-construction flags default to the ``model_meta.json`` the trainer
+    persisted next to the checkpoints (so a --stem s2d / --temporal_cell light
+    checkpoint evaluates without re-passing those flags); explicit keyword
+    arguments override the meta. Params are restored subtree-tolerantly
+    (checkpoint.restore_params): a clip-trained (temporal) checkpoint loads
+    into a non-temporal eval model and vice versa — the extra/missing temporal
+    subtree is reported, not fatal.
+    """
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(checkpoint_dir)
+    meta = mgr.load_meta() or {}
+
+    def pick(cli, key, default):
+        return cli if cli is not None else meta.get(key, default)
+
+    cfg = get_config(pick(dataset, "dataset", dataset_fallback))
+    model = build_detector(
+        cfg,
+        backbone=pick(backbone, "backbone", "vgg16"),
+        temporal=bool(pick(temporal, "temporal", True)),
+        stem=pick(stem, "stem", "conv"),
+        temporal_cell=pick(temporal_cell, "temporal_cell", "convgru"),
+        tcb_channels=int(pick(tcb_channels, "tcb_channels", 256)),
+        width_mult=float(meta.get("width_mult", 1.0)),
+        dtype=dtype,
+    )
+    x = jnp.zeros((1, cfg.size, cfg.size, 3), model.dtype)
+    state = model.zero_state(1) if model.temporal else None
+    template = jax.jit(model.init)(jax.random.PRNGKey(seed), x, state)
+    if random_init:
+        return LoadedModel(model, template, cfg, 0, meta)
+    out = mgr.restore_params(template)
+    if out is None:
+        raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
+    params, missing, extra = out
+    if verbose and (missing or extra):
+        print(
+            f"restore: {len(missing)} template subtree(s) kept at init "
+            f"{missing[:4]}, {len(extra)} checkpoint subtree(s) unused {extra[:4]}"
+        )
+    return LoadedModel(model, params, cfg, mgr.latest_step() or 0, meta)
 
 
 def make_clip_forward(model: TDRN, top_k: Optional[int] = None):

@@ -89,6 +89,11 @@ class InferenceServer:
         self._wakeup.set()
         if not req.event.wait(timeout):
             raise TimeoutError(f"inference timed out for stream {stream_id}")
+        if req.result is None:
+            raise RuntimeError(
+                f"stream {stream_id} was evicted under lane pressure before "
+                "this frame ran; resubmit to start a fresh stream"
+            )
         return req.result
 
     def submit_sync(self, stream_id: str, frame_u8: np.ndarray):
@@ -138,7 +143,14 @@ class InferenceServer:
         if self._free:
             lane = self._free.pop()
         else:  # LRU-evict the stalest stream; its lane state resets on reuse
-            _, lane = self._lane_of.popitem(last=False)
+            evicted, lane = self._lane_of.popitem(last=False)
+            # Fail the evicted stream's still-queued frames: leaving them in
+            # _queues[lane] would interleave two streams' frames through one
+            # temporal state and hand each the other's detections.
+            for req in self._queues[lane]:
+                req.result = None
+                req.event.set()
+            self._queues[lane] = []
             self.det.reset([lane])
         self._lane_of[stream_id] = lane
         self.det.reset([lane])

@@ -9,14 +9,17 @@ optimizer state, and step — so resume is exact; restore-latest is automatic.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 from tdrn_tpu.train.trainer import TrainState
+
+META_FILENAME = "model_meta.json"
 
 
 class CheckpointManager:
@@ -48,11 +51,81 @@ class CheckpointManager:
         )
         return jax.tree.map(lambda t, r: r, template, _from_saveable(template, restored))
 
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def save_meta(self, meta: dict):
+        """Persist the model/optimizer construction flags next to the
+        checkpoints, so consumers (eval/test/serve/live) can rebuild the exact
+        pytree without the user re-passing every train-time flag (a checkpoint
+        trained with --stem s2d / --temporal_cell light / --grad_clip 0 has a
+        different params or optimizer tree than the defaults)."""
+        with open(os.path.join(self.directory, META_FILENAME), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    def load_meta(self) -> Optional[dict]:
+        path = os.path.join(self.directory, META_FILENAME)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def restore_params(self, template_params) -> Optional[Tuple[Any, list, list]]:
+        """Params-only, subtree-tolerant restore (for inference consumers).
+
+        Restores the latest checkpoint raw (no template) and grafts its
+        ``params`` subtree onto ``template_params``: leaves present in both
+        (with matching shapes) come from the checkpoint; template-only leaves
+        keep their init (e.g. fresh temporal cells when evaluating a
+        non-temporal checkpoint with --temporal); checkpoint-only subtrees are
+        ignored (e.g. a clip-trained temporal module under single-frame eval).
+        Returns (params, missing_paths, extra_paths) or None if no checkpoint.
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        raw = self._mgr.restore(step)
+        return graft_params(raw["params"], template_params)
+
     def wait(self):
         self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+
+
+def graft_params(src, template) -> Tuple[Any, list, list]:
+    """Copy matching leaves of nested-dict ``src`` onto ``template``.
+
+    Returns (grafted_tree, missing_paths, extra_paths): ``missing`` are
+    template leaves absent (or shape-mismatched) in src — they keep the
+    template's values; ``extra`` are src leaves with no template counterpart.
+    """
+    missing, extra = [], []
+
+    def walk(s, t, prefix):
+        if not isinstance(t, dict):
+            if isinstance(s, dict):
+                missing.append(prefix)
+                return t
+            if tuple(np.shape(s)) != tuple(np.shape(t)):
+                missing.append(prefix + f" (shape {np.shape(s)} != {np.shape(t)})")
+                return t
+            return s
+        out = {}
+        s = s if isinstance(s, dict) else {}
+        for k, tv in t.items():
+            if k in s:
+                out[k] = walk(s[k], tv, f"{prefix}/{k}")
+            else:
+                missing.append(f"{prefix}/{k}")
+                out[k] = tv
+        for k in s:
+            if k not in t:
+                extra.append(f"{prefix}/{k}")
+        return out
+
+    return walk(src, template, ""), missing, extra
 
 
 def _to_saveable(ts: TrainState) -> dict:

@@ -20,10 +20,12 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser(description="Batch inference -> text file")
-    ap.add_argument("--dataset", default="voc_320")
+    ap.add_argument("--dataset", default=None,
+                    help="config name; defaults to the checkpoint's meta (else voc_320)")
     ap.add_argument("--data_root", default=None, help="VOCdevkit / ILSVRC root")
     ap.add_argument("--image_dir", default=None, help="or: a folder of images")
-    ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--backbone", default=None, choices=["vgg16", "resnet101"],
+                    help="defaults to the checkpoint's meta")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out_file", default="eval/test1.txt")
     ap.add_argument("--visual_thresh", type=float, default=0.6)
@@ -35,25 +37,19 @@ def parse_args():
 def main():
     args = parse_args()
     import cv2
-    import jax
     import jax.numpy as jnp
 
-    from tdrn_tpu.config import get_config
     from tdrn_tpu.data import VOC_CLASSES, VID_CLASSES, VOCDetection
-    from tdrn_tpu.inference import make_single_image_forward
-    from tdrn_tpu.models import build_detector
-    from tdrn_tpu.train import init_train_state, make_optimizer
-    from tdrn_tpu.train.checkpoint import CheckpointManager
+    from tdrn_tpu.inference import load_inference_model, make_single_image_forward
 
-    cfg = get_config(args.dataset)
-    class_names = VID_CLASSES if args.dataset.startswith("vid") else VOC_CLASSES
-    model = build_detector(cfg, backbone=args.backbone, temporal=False)
-    opt = make_optimizer()
-    ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
-    restored = CheckpointManager(args.checkpoint).restore_latest(ts)
-    if restored is None:
-        raise SystemExit(f"no checkpoint in {args.checkpoint}")
-    params = restored.params
+    try:
+        model, params, cfg, _, _ = load_inference_model(
+            args.checkpoint, dataset=args.dataset, backbone=args.backbone,
+            temporal=False,
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
+    class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
 
     if args.image_dir:
         paths = sorted(

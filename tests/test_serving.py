@@ -111,6 +111,28 @@ class TestEviction:
             srv.close()
 
 
+class TestEvictionDrain:
+    def test_evicted_stream_pending_requests_fail(self, model_and_params):
+        """Eviction must not leave the old stream's queued frames in the lane
+        (they would interleave into the new stream's temporal state)."""
+        from tdrn_tpu.serving import _Pending
+
+        model, params = model_and_params
+        det = StreamingDetector(model, params, num_streams=1, top_k=10)
+        srv = InferenceServer(det, dispatch_thread=False)
+        try:
+            with srv._lock:
+                lane_a = srv._assign_lane("a")
+                stale = _Pending(np.zeros((64, 64, 3), np.uint8))
+                srv._queues[lane_a].append(stale)
+                lane_b = srv._assign_lane("b")  # evicts a (single lane)
+            assert lane_b == lane_a
+            assert stale.event.is_set() and stale.result is None
+            assert srv._queues[lane_a] == []
+        finally:
+            srv.close()
+
+
 class TestSubmitSync:
     def test_sync_matches_streaming(self, model_and_params):
         model, params = model_and_params

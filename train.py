@@ -130,6 +130,25 @@ def main():
     ts = replicate_tree(ts, mesh)
 
     ckpt = CheckpointManager(args.save_folder, save_every=args.save_every)
+    if jax.process_index() == 0:
+        # Persist construction flags so eval/test/serve/live rebuild the exact
+        # model pytree without re-passing them (ADVICE round-1: non-default
+        # --stem/--temporal_cell checkpoints were otherwise unrestorable).
+        ckpt.save_meta({
+            "dataset": args.dataset,
+            "backbone": args.backbone,
+            "temporal": bool(args.clip),
+            "stem": args.stem,
+            "temporal_cell": args.temporal_cell,
+            "tcb_channels": 256,
+            "bf16": bool(args.bf16),
+            "optimizer": {
+                "lr": args.lr, "momentum": args.momentum,
+                "weight_decay": args.weight_decay, "warmup": args.warmup,
+                "milestones": list(args.milestones), "gamma": args.gamma,
+                "grad_clip": args.grad_clip,
+            },
+        })
     if args.resume:
         restored = ckpt.restore_latest(ts)
         if restored is not None:
