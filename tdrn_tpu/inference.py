@@ -163,6 +163,7 @@ def load_inference_model(
         stem=pick(stem, "stem", "conv"),
         temporal_cell=pick(temporal_cell, "temporal_cell", "convgru"),
         tcb_channels=int(pick(tcb_channels, "tcb_channels", 256)),
+        backbone_norm=meta.get("backbone_norm", "frozen"),
         width_mult=float(meta.get("width_mult", 1.0)),
         dtype=dtype,
     )

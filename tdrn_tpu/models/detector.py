@@ -26,7 +26,10 @@ from tdrn_tpu.ops.detection import RawPredictions
 Dtype = Any
 
 
-def _build_backbone(name: str, dtype, width_mult: float = 1.0, stem: str = "conv"):
+def _build_backbone(
+    name: str, dtype, width_mult: float = 1.0, stem: str = "conv",
+    norm: str = "frozen",
+):
     if name == "vgg16":
         from tdrn_tpu.models.vgg import VGG16Reduced
 
@@ -37,7 +40,8 @@ def _build_backbone(name: str, dtype, width_mult: float = 1.0, stem: str = "conv
         from tdrn_tpu.models.resnet import ResNetBackbone
 
         return ResNetBackbone(
-            depth=101, dtype=dtype, width_mult=width_mult, name="backbone"
+            depth=101, dtype=dtype, width_mult=width_mult, norm=norm,
+            name="backbone",
         )
     raise ValueError(f"unknown backbone {name}")
 
@@ -55,6 +59,7 @@ class TDRN(nn.Module):
     width_mult: float = 1.0
     stem: str = "conv"  # "s2d" = space-to-depth stem (models/vgg.py)
     temporal_cell: str = "convgru"  # or "light" (models/temporal.py)
+    backbone_norm: str = "frozen"  # resnet only: "frozen" | "group"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -63,7 +68,10 @@ class TDRN(nn.Module):
     ) -> Tuple[RawPredictions, Optional[State]]:
         """x: (B, size, size, 3) preprocessed frames (NHWC, mean-subtracted)."""
         cfg = self.cfg
-        sources = _build_backbone(self.backbone, self.dtype, self.width_mult, self.stem)(x)
+        sources = _build_backbone(
+            self.backbone, self.dtype, self.width_mult, self.stem,
+            self.backbone_norm,
+        )(x)
         assert len(sources) == len(cfg.feature_maps)
         # L2Norm the two shallow scales (reference inits: 10 and 8).
         sources[0] = L2Norm(10.0, dtype=self.dtype, name="l2norm0")(sources[0])
@@ -117,6 +125,7 @@ def build_detector(
     arm_guided_sampling: bool = True,
     stem: str = "conv",
     temporal_cell: str = "convgru",
+    backbone_norm: str = "frozen",
 ) -> TDRN:
     """Equivalent of the reference's ``build_net`` (SURVEY.md L4)."""
     return TDRN(
@@ -128,5 +137,6 @@ def build_detector(
         width_mult=width_mult,
         stem=stem,
         temporal_cell=temporal_cell,
+        backbone_norm=backbone_norm,
         dtype=dtype,
     )

@@ -7,13 +7,21 @@ stacks in NHWC; the detector consumes four scales:
     C3 (size/8,  512 ch), C4 (size/16, 1024 ch), C5 (size/32, 2048 ch),
     extra (size/64, 512 ch)  — RefineDet-style extra stage.
 
-BatchNorm is folded as frozen scale/bias (inference-style) — detection
-fine-tuning at batch<=32 traditionally freezes BN stats; this keeps the
-forward purely functional (no mutable batch stats threading) and XLA-fusible.
+Normalization is selectable (``norm``):
+  * ``"frozen"`` (default): BatchNorm folded to a per-channel affine
+    (inference-style) — detection fine-tuning at batch<=32 traditionally
+    freezes BN stats; this keeps the forward purely functional (no mutable
+    batch stats threading) and XLA-fusible. Pretrained torchvision BN stats
+    fold exactly into these scale/bias params (utils/torch_weights.py
+    ``load_resnet_backbone``).
+  * ``"group"``: GroupNorm — normalizes activations at init, making the
+    backbone trainable from random init (frozen affine at scale=1 cannot
+    control activation growth through 100+ layers).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, List, Sequence
 
 import jax.numpy as jnp
@@ -39,28 +47,42 @@ class FrozenBN(nn.Module):
         return (x * scale + bias).astype(self.dtype)
 
 
+def _make_norm(norm: str, dtype, name: str):
+    if norm == "frozen":
+        return FrozenBN(dtype=dtype, name=name)
+    if norm == "group":
+        # num_groups must divide the channel count; gcd(32, c) always does and
+        # equals the standard 32 groups for real (mult-of-32) widths.
+        return lambda x: nn.GroupNorm(
+            num_groups=math.gcd(32, x.shape[-1]), dtype=dtype, name=name
+        )(x)
+    raise ValueError(f"unknown resnet norm {norm!r}")
+
+
 class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     stride: int = 1
+    norm: str = "frozen"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         f = self.features
         out_ch = 4 * f
+        nrm = lambda name: _make_norm(self.norm, self.dtype, name)
         shortcut = x
         if x.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
                 dtype=self.dtype, name="proj",
             )(x)
-            shortcut = FrozenBN(dtype=self.dtype, name="proj_bn")(shortcut)
+            shortcut = nrm("proj_bn")(shortcut)
         y = conv1x1(f, dtype=self.dtype, name="conv1")(x)
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn1")(y))
+        y = nn.relu(nrm("bn1")(y))
         y = conv3x3(f, stride=self.stride, dtype=self.dtype, name="conv2")(y)
-        y = nn.relu(FrozenBN(dtype=self.dtype, name="bn2")(y))
+        y = nn.relu(nrm("bn2")(y))
         y = conv1x1(out_ch, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBN(dtype=self.dtype, name="bn3")(y)
+        y = nrm("bn3")(y)
         return nn.relu(y + shortcut)
 
 
@@ -70,6 +92,7 @@ class ResNetBackbone(nn.Module):
     depth: int = 101
     dtype: Dtype = jnp.float32
     width_mult: float = 1.0
+    norm: str = "frozen"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -80,7 +103,7 @@ class ResNetBackbone(nn.Module):
             w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             dtype=self.dtype, name="stem",
         )(x)
-        x = nn.relu(FrozenBN(dtype=self.dtype, name="stem_bn")(x))
+        x = nn.relu(_make_norm(self.norm, self.dtype, "stem_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         sources = []
@@ -89,7 +112,8 @@ class ResNetBackbone(nn.Module):
             for bi in range(n):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 x = Bottleneck(
-                    f, stride=stride, dtype=self.dtype, name=f"stage{si + 1}_{bi}"
+                    f, stride=stride, norm=self.norm, dtype=self.dtype,
+                    name=f"stage{si + 1}_{bi}",
                 )(x)
             if si >= 1:  # C3 (stride 8), C4 (16), C5 (32)
                 sources.append(x)

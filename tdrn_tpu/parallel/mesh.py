@@ -42,10 +42,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_tree(tree, mesh: Mesh, leading_time_axis: bool = False):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: ``x`` is the global batch. Multi-process (the mesh spans
+    hosts): ``x`` is this host's LOCAL batch shard — each host's loader
+    produces its own rows (grain ShardByJaxProcess / per-host seeds), and the
+    global array is assembled by concatenation along the sharded axis.
+    """
     sh = clip_batch_sharding(mesh) if leading_time_axis else batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
 def replicate_tree(tree, mesh: Mesh):
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+    """Replicate a pytree over the mesh (multi-process: every host must pass
+    identical values — e.g. params from the same PRNG seed or checkpoint)."""
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

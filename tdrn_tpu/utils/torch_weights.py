@@ -170,6 +170,107 @@ def flax_from_torch_mirror(torch_model, template):
     return torch_state_to_flax(sd, template)
 
 
+# ---------------------------------------------------------------------------
+# torchvision ResNet-50/101/152 -> our models/resnet.py ResNetBackbone.
+#
+# The reference fine-tunes a torchvision/caffe ResNet-101 with frozen BN
+# (SURVEY.md §2 #17). Our FrozenBN is a per-channel affine, so pretrained
+# BatchNorm folds EXACTLY:  scale = gamma / sqrt(running_var + eps),
+# bias = beta - running_mean * scale  (eps = 1e-5, torchvision default).
+# Convs in torchvision resnets are bias-free; our nn.Conv biases are set to 0.
+# torchvision key layout:  conv1 / bn1 / layer{1..4}.{i}.conv{1..3} /
+# layer{1..4}.{i}.bn{1..3} / layer{1..4}.{i}.downsample.{0,1}.
+# ---------------------------------------------------------------------------
+
+_BN_EPS = 1e-5
+
+
+def _fold_bn(sd: Dict[str, np.ndarray], prefix: str):
+    gamma = np.asarray(sd[f"{prefix}.weight"], np.float64)
+    beta = np.asarray(sd[f"{prefix}.bias"], np.float64)
+    mean = np.asarray(sd[f"{prefix}.running_mean"], np.float64)
+    var = np.asarray(sd[f"{prefix}.running_var"], np.float64)
+    scale = gamma / np.sqrt(var + _BN_EPS)
+    bias = beta - mean * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+def _resnet_torch_prefix(path):
+    """Our backbone-relative module path -> torchvision key prefix (or None)."""
+    mod = path[0]
+    if mod == "stem":
+        return "conv1"
+    if mod == "stem_bn":
+        return "bn1"
+    if mod.startswith("stage"):
+        stage, block = mod[len("stage"):].split("_")
+        sub = path[1]
+        if sub.startswith("conv"):
+            return f"layer{stage}.{block}.{sub}"
+        if sub.startswith("bn"):
+            return f"layer{stage}.{block}.{sub}"
+        if sub == "proj":
+            return f"layer{stage}.{block}.downsample.0"
+        if sub == "proj_bn":
+            return f"layer{stage}.{block}.downsample.1"
+    return None  # extra1/extra2 etc: not pretrained
+
+
+def resnet_backbone_from_torchvision(sd: Dict[str, np.ndarray], backbone_template):
+    """Fill a ResNetBackbone param subtree from a torchvision state dict.
+
+    ``backbone_template``: the flax ``params["params"]["backbone"]`` tree
+    (FrozenBN norm). Returns (new_backbone_tree, loaded_keys, skipped_keys).
+    Shapes are checked strictly for everything that maps; non-pretrained
+    modules (extra1/extra2) keep their template values.
+    """
+    loaded, skipped = [], []
+
+    def build(sub, prefix):
+        out = {}
+        for k, v in sub.items():
+            path = prefix + (k,)
+            if isinstance(v, dict):
+                out[k] = build(v, path)
+                continue
+            tprefix = _resnet_torch_prefix(path)
+            if tprefix is None:
+                out[k] = v
+                skipped.append(".".join(path))
+                continue
+            if k == "kernel":
+                w = _oihw_to_hwio(np.asarray(sd[f"{tprefix}.weight"], np.float32))
+            elif k == "bias" and f"{tprefix}.running_mean" not in sd:
+                # Conv bias: torchvision resnet convs are bias-free.
+                w = np.zeros(v.shape, np.float32)
+            else:  # FrozenBN scale/bias from folded BatchNorm stats
+                scale, bias = _fold_bn(sd, tprefix)
+                w = scale if k == "scale" else bias
+            if tuple(w.shape) != tuple(v.shape):
+                raise ValueError(
+                    f"{tprefix} -> {'.'.join(path)}: shape {w.shape} != "
+                    f"template {tuple(v.shape)}"
+                )
+            out[k] = w
+            loaded.append(".".join(path))
+        return out
+
+    return build(backbone_template, ()), loaded, skipped
+
+
+def load_resnet_backbone(params, ckpt_path: str):
+    """Return flax params with the ResNet backbone replaced by a torchvision
+    checkpoint's folded weights (pretrained-init path for BASELINE config 5)."""
+    sd = load_torch_state_dict(ckpt_path)
+    new_backbone, loaded, skipped = resnet_backbone_from_torchvision(
+        sd, params["params"]["backbone"]
+    )
+    new_params = dict(params)
+    new_params["params"] = dict(params["params"])
+    new_params["params"]["backbone"] = new_backbone
+    return new_params, loaded, skipped
+
+
 def load_vgg_backbone(params, ckpt_path: str, strict: bool = False):
     """Return a copy of the flax params tree with backbone convs replaced by the
     torch checkpoint's weights. Shape-mismatched layers (e.g. a torchvision

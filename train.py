@@ -25,6 +25,13 @@ def parse_args():
     ap.add_argument("--dataset", default="voc_320", help="config name (see tdrn_tpu.config)")
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--backbone_norm", default="frozen", choices=["frozen", "group"],
+                    help="resnet norm: frozen (pretrained BN fold) or group "
+                         "(GroupNorm, trainable from scratch)")
+    ap.add_argument("--pretrained", default=None,
+                    help="torch checkpoint to graft into the backbone: "
+                         "vgg16_reducedfc.pth / torchvision vgg16 (vgg16) or "
+                         "a torchvision resnet101 state dict (resnet101)")
     ap.add_argument("--clip", action="store_true", help="VID clip (temporal) training")
     ap.add_argument(
         "--image_sets",
@@ -95,6 +102,7 @@ def main():
     model = build_detector(
         cfg, backbone=args.backbone, temporal=args.clip, dtype=dtype,
         stem=args.stem, temporal_cell=args.temporal_cell,
+        backbone_norm=args.backbone_norm,
     )
 
     aug = SSDAugmentation(cfg.size, cfg.pixel_means, seed=args.seed,
@@ -127,6 +135,21 @@ def main():
     )
     mesh = make_mesh()
     ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt, batch=args.batch_size)
+    if args.pretrained:
+        if args.backbone == "resnet101":
+            from tdrn_tpu.utils.torch_weights import load_resnet_backbone
+
+            if args.backbone_norm != "frozen":
+                raise SystemExit("--pretrained resnet weights need --backbone_norm frozen")
+            params, loaded, _ = load_resnet_backbone(ts.params, args.pretrained)
+        else:
+            from tdrn_tpu.utils.torch_weights import load_vgg_backbone
+
+            params, loaded, skipped = load_vgg_backbone(ts.params, args.pretrained)
+            if skipped:
+                print(f"pretrained: skipped {skipped}")
+        print(f"pretrained: grafted {len(loaded)} tensors from {args.pretrained}")
+        ts = ts._replace(params=jax.tree.map(jnp.asarray, params))
     ts = replicate_tree(ts, mesh)
 
     ckpt = CheckpointManager(args.save_folder, save_every=args.save_every)
@@ -140,6 +163,7 @@ def main():
             "temporal": bool(args.clip),
             "stem": args.stem,
             "temporal_cell": args.temporal_cell,
+            "backbone_norm": args.backbone_norm,
             "tcb_channels": 256,
             "bf16": bool(args.bf16),
             "optimizer": {
