@@ -39,6 +39,10 @@ class DetectorConfig:
     conf_thresh: float = 0.01
     nms_thresh: float = 0.45
     top_k: int = 200
+    # Candidate selection via lax.approx_max_k(recall_target=1.0) instead of
+    # the full sort XLA emits for lax.top_k (exact either way; the approx
+    # kernel is the TPU-native path — see ops/nms.py `_top_k`).
+    approx_topk: bool = True
     # ARM negative-anchor filter threshold (SURVEY.md §2 #19/#20).
     arm_filter_thresh: float = 0.99
     # Pixel means (BGR order in the reference; we store RGB for our RGB pipeline).

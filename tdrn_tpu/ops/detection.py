@@ -54,7 +54,7 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
     """Full reference-style Detect: (B, C, top_k, 5) rows [score, x1, y1, x2, y2]."""
     boxes, scores = decode_two_stage(preds, priors, cfg)
     fn = lambda b, s: N.class_aware_nms(
-        b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh
+        b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
     )
     return jax.vmap(fn)(boxes, scores)
 
@@ -65,4 +65,4 @@ def detect_topk(
     """Public per-frame detect API: overall top-k (boxes, scores, classes) per image."""
     k = top_k or cfg.top_k
     det = detect(preds, priors, cfg)  # (B, C, K, 5)
-    return jax.vmap(lambda d: N.flatten_detections(d, k))(det)
+    return jax.vmap(lambda d: N.flatten_detections(d, k, cfg.approx_topk))(det)

@@ -1,0 +1,113 @@
+"""Scan-chained device-side micro-benchmark.
+
+One `lax.scan` program runs N streaming steps (uint8 -> preprocess -> model ->
+decode -> NMS -> top-k) with the temporal state as carry: ONE dispatch and ONE
+fetch regardless of N, so total/N is true per-frame device time even when the
+axon tunnel's per-step dispatch latency dominates wall-clock (see BENCH.md
+methodology; this is the cross-check tool referenced there).
+
+    python tools/device_bench.py --batch 1 --frames 100
+    python tools/device_bench.py --batch 1 --no_detect   # model-only ablation
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--config", default="vid_320")
+    ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
+    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--no_detect", action="store_true",
+                    help="skip decode/NMS/top-k (model-only ablation)")
+    ap.add_argument("--no_temporal", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.config import get_config
+    from tdrn_tpu.models import build_detector
+    from tdrn_tpu.ops.detection import detect_topk
+    from tdrn_tpu.ops.preprocess import preprocess_batch
+    from tdrn_tpu.ops.priors import prior_boxes
+
+    cfg = get_config(args.config)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_detector(
+        cfg, backbone=args.backbone, temporal=not args.no_temporal, dtype=dtype,
+        stem=args.stem, temporal_cell=args.cell,
+    )
+    b = args.batch
+    x0 = jnp.zeros((b, cfg.size, cfg.size, 3), dtype)
+    state0 = model.zero_state(b) if not args.no_temporal else None
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, state0)
+    priors = prior_boxes(cfg)
+
+    # DISTINCT frame per step: with a loop-invariant frame XLA hoists the whole
+    # state-independent backbone/ARM/TCB out of the scan and the number lies.
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(
+            0, 255, (args.frames, b, cfg.size, cfg.size, 3), dtype=np.uint8
+        )
+    )
+
+    @jax.jit
+    def run_clip(params, state, frames):
+        def step(state, frame):
+            x = preprocess_batch(frame, cfg, model.dtype)
+            preds, new_state = model.apply(params, x, state)
+            if args.no_detect:
+                out = (preds.odm_loc.sum(), preds.odm_conf.sum())
+            else:
+                det = detect_topk(preds, priors, cfg)
+                out = (det.scores.sum(), det.boxes.sum())
+            # keep a data dependency frame->frame even without temporal state
+            if new_state is None:
+                new_state = state
+            return new_state, out
+        state, outs = jax.lax.scan(step, state, frames)
+        return jax.tree.map(lambda o: o[-1], outs)
+
+    # temporal state chains steps; without it, chain via dummy carry
+    carry0 = state0 if state0 is not None else jnp.zeros((1,), dtype)
+    out = run_clip(params, carry0, frames)
+    jax.tree.map(np.asarray, out)  # compile + sync
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = run_clip(params, carry0, frames)
+        jax.tree.map(np.asarray, out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    per = best / args.frames
+    print(json.dumps({
+        "ms_per_frame": round(per * 1e3, 4),
+        "frames_per_sec_per_chip": round(b / per, 1),
+        "batch": b,
+        "dtype": args.dtype,
+        "stem": args.stem,
+        "cell": args.cell,
+        "backbone": args.backbone,
+        "config": args.config,
+        "detect": not args.no_detect,
+        "temporal": not args.no_temporal,
+        "frames": args.frames,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

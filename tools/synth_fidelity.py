@@ -138,7 +138,9 @@ def main():
     if args.gen_only:
         return
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # Prepend (not replace) PYTHONPATH: the axon TPU plugin rides on it.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # Color IS the class signal: photometric distortion off (NOTES.md).
     train_cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
