@@ -43,6 +43,10 @@ class DetectorConfig:
     # the full sort XLA emits for lax.top_k (exact either way; the approx
     # kernel is the TPU-native path — see ops/nms.py `_top_k`).
     approx_topk: bool = True
+    # ARM->ODM two-stage decode + softmax + negative-anchor filter as one
+    # Pallas kernel emitting class-major scores (ops/cascade_pallas.py);
+    # False = the plain XLA-fusion path (ops/detection.decode_two_stage).
+    fused_cascade: bool = False
     # ARM negative-anchor filter threshold (SURVEY.md §2 #19/#20).
     arm_filter_thresh: float = 0.99
     # Pixel means (BGR order in the reference; we store RGB for our RGB pipeline).

@@ -21,12 +21,29 @@ from typing import Any, List
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax.linen import initializers as nn_init
+
 from tdrn_tpu.models.layers import conv1x1, conv3x3
 
 Dtype = Any
 
 # (num_convs, channels) per VGG stage.
 _STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class _ConvParams(nn.Module):
+    """Declare conv kernel/bias params without an nn.Conv forward — the fused
+    Pallas stem consumes them directly while keeping the parameter tree
+    identical to the unfused stem (a checkpoint trained with stem="conv"
+    serves with stem="fused" unchanged)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(), self.shape)
+        b = self.param("bias", nn_init.zeros, (self.shape[-1],))
+        return k, b
 
 
 class VGG16Reduced(nn.Module):
@@ -44,17 +61,37 @@ class VGG16Reduced(nn.Module):
     # geometry, ~4x less activation traffic on the two most bandwidth-bound
     # layers (the classic TPU early-conv trick). Train-from-scratch only (not
     # weight-compatible with the reference stem).
+    # stem="fused": stage 1 (conv1_1+relu+conv1_2+relu+pool1) runs as ONE
+    # Pallas kernel (ops/stem_pallas.py) — weight-compatible with "conv"
+    # (same param tree/geometry; bf16 compute, fp32 accumulate). Inference
+    # profile: the kernel has no autodiff path.
     stem: str = "conv"
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         w = lambda c: max(8, int(c * self.width_mult))
         sources = []
+        start_stage = 0
         if self.stem == "s2d":
             b, h, wd, c = x.shape
             x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+        elif self.stem == "fused":
+            import jax
+
+            from tdrn_tpu.ops.stem_pallas import fused_stem_stage1
+
+            n1 = w(64)
+            k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
+            k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()
+            x = fused_stem_stage1(
+                x, k1, b1, k2, b2, out_dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu",
+            )
+            start_stage = 1
         for si, (n, ch) in enumerate(_STAGES):
+            if si < start_stage:
+                continue
             for ci in range(n):
                 x = conv3x3(w(ch), dtype=self.dtype, name=f"conv{si + 1}_{ci + 1}")(x)
                 x = nn.relu(x)

@@ -52,6 +52,16 @@ def decode_two_stage(preds: RawPredictions, priors: Array, cfg: DetectorConfig):
 
 def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
     """Full reference-style Detect: (B, C, top_k, 5) rows [score, x1, y1, x2, y2]."""
+    if cfg.fused_cascade:
+        from tdrn_tpu.ops.cascade_pallas import fused_refine_cascade
+
+        boxes, scores_cm = fused_refine_cascade(
+            preds, priors, cfg, interpret=jax.default_backend() == "cpu"
+        )
+        fn = lambda b, s: N.class_aware_nms_cm(
+            b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
+        )
+        return jax.vmap(fn)(boxes, scores_cm)
     boxes, scores = decode_two_stage(preds, priors, cfg)
     fn = lambda b, s: N.class_aware_nms(
         b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk

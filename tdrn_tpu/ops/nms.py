@@ -139,6 +139,26 @@ def class_aware_nms(
     return jax.vmap(per_class, in_axes=1)(scores)  # (C, K, 5)
 
 
+def class_aware_nms_cm(
+    boxes: Array,
+    scores_cm: Array,
+    iou_thresh: float = 0.45,
+    top_k: int = 200,
+    score_thresh: float = 0.01,
+    approx_topk: bool = False,
+) -> Array:
+    """`class_aware_nms` for CLASS-MAJOR scores (C, P) — the layout the fused
+    ARM->ODM cascade kernel emits (ops/cascade_pallas.py), which is also what
+    the per-class top-k consumes, so no transpose materializes in between.
+    The background row is expected to be pre-zeroed (the kernel does)."""
+
+    def per_class(s):
+        r = nms_fixed(boxes, s, iou_thresh, top_k, score_thresh, approx_topk)
+        return jnp.concatenate([r.scores[:, None], r.boxes], axis=-1)
+
+    return jax.vmap(per_class)(scores_cm)  # (C, K, 5)
+
+
 class TopDetections(NamedTuple):
     boxes: Array  # (K, 4)
     scores: Array  # (K,)

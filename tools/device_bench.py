@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--config", default="vid_320")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
-    ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--no_detect", action="store_true",
                     help="skip decode/NMS/top-k (model-only ablation)")
