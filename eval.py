@@ -30,6 +30,8 @@ def parse_args():
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--backbone", default=None, choices=["vgg16", "resnet101"],
                     help="defaults to the checkpoint's meta")
+    ap.add_argument("--stem", default=None, choices=["conv", "s2d", "fused", "fused2"],
+                    help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--temporal", action="store_true", help="VID temporal (snippet-streaming) eval")
@@ -61,7 +63,7 @@ def main():
     try:
         model, params, cfg, step, meta = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            temporal=args.temporal,
+            stem=args.stem, temporal=args.temporal,
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))

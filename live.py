@@ -21,6 +21,8 @@ def parse_args():
     ap.add_argument("--dataset", default=None,
                     help="config name; defaults to the checkpoint's meta (else vid_320)")
     ap.add_argument("--backbone", default=None)
+    ap.add_argument("--stem", default=None, choices=["conv", "s2d", "fused", "fused2"],
+                    help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--source", default="0", help="camera index or video path")
     ap.add_argument("--out", default=None, help="write annotated video here")
@@ -39,7 +41,7 @@ def main():
     try:
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            temporal=True, dataset_fallback="vid_320",
+            stem=args.stem, temporal=True, dataset_fallback="vid_320",
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))

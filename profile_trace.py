@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--config", default="vid_320")
     ap.add_argument("--backbone", default="vgg16")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused", "fused2"])
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--out", default="/tmp/tdrn_trace")
     args = ap.parse_args()
@@ -36,7 +37,7 @@ def main():
     from tdrn_tpu.utils.logging import Timer, profile_trace
 
     cfg = get_config(args.config)
-    model = build_detector(cfg, backbone=args.backbone, temporal=True)
+    model = build_detector(cfg, backbone=args.backbone, temporal=True, stem=args.stem)
     x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, model.zero_state(args.batch))
     det = StreamingDetector(model, params, num_streams=args.batch)

@@ -29,6 +29,8 @@ def parse_args():
     ap.add_argument("--dataset", default=None,
                     help="config name; defaults to the checkpoint's meta (else vid_320)")
     ap.add_argument("--backbone", default=None)
+    ap.add_argument("--stem", default=None, choices=["conv", "s2d", "fused", "fused2"],
+                    help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
@@ -52,6 +54,7 @@ def build_server(args):
     try:
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
+            stem=args.stem,
             temporal=True, random_init=args.random_init, dataset_fallback="vid_320",
         )
     except FileNotFoundError as e:

@@ -76,19 +76,27 @@ class VGG16Reduced(nn.Module):
             b, h, wd, c = x.shape
             x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
-        elif self.stem == "fused":
+        elif self.stem in ("fused", "fused2"):
             import jax
 
-            from tdrn_tpu.ops.stem_pallas import fused_stem_stage1
+            from tdrn_tpu.ops.stem_pallas import fused_conv_stage, fused_stem_stage1
 
+            interp = jax.default_backend() == "cpu"
             n1 = w(64)
             k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
             k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()
             x = fused_stem_stage1(
-                x, k1, b1, k2, b2, out_dtype=self.dtype,
-                interpret=jax.default_backend() == "cpu",
+                x, k1, b1, k2, b2, out_dtype=self.dtype, interpret=interp
             )
             start_stage = 1
+            if self.stem == "fused2":  # also fuse stage 2 (64->128->128 + pool2)
+                n2 = w(128)
+                k3, b3 = _ConvParams((3, 3, n1, n2), name="conv2_1")()
+                k4, b4 = _ConvParams((3, 3, n2, n2), name="conv2_2")()
+                x = fused_conv_stage(
+                    x, k3, b3, k4, b4, out_dtype=self.dtype, interpret=interp
+                )
+                start_stage = 2
         for si, (n, ch) in enumerate(_STAGES):
             if si < start_stage:
                 continue

@@ -26,6 +26,8 @@ def parse_args():
     ap.add_argument("--image_dir", default=None, help="or: a folder of images")
     ap.add_argument("--backbone", default=None, choices=["vgg16", "resnet101"],
                     help="defaults to the checkpoint's meta")
+    ap.add_argument("--stem", default=None, choices=["conv", "s2d", "fused", "fused2"],
+                    help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out_file", default="eval/test1.txt")
     ap.add_argument("--visual_thresh", type=float, default=0.6)
@@ -45,7 +47,7 @@ def main():
     try:
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            temporal=False,
+            stem=args.stem, temporal=False,
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))

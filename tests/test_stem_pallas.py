@@ -41,9 +41,29 @@ def test_fused_stem_matches_reference_fp32(b, h, w, n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
-def test_fused_stem_detector_parity():
-    """stem='fused' consumes a stem='conv' checkpoint unchanged: same param
-    tree, near-identical predictions (bf16 stem compute tolerance)."""
+@pytest.mark.parametrize("cin,cmid,cout", [(8, 16, 16), (16, 8, 24)])
+def test_fused_conv_stage_matches_reference(cin, cmid, cout):
+    from tdrn_tpu.ops.stem_pallas import fused_conv_stage
+
+    rng = np.random.default_rng(3)
+    b, h, w = 1, 64, 32
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype("f4"))
+    k1 = jnp.asarray(rng.normal(size=(3, 3, cin, cmid)).astype("f4") * 0.2)
+    b1 = jnp.asarray(rng.normal(size=(cmid,)).astype("f4"))
+    k2 = jnp.asarray(rng.normal(size=(3, 3, cmid, cout)).astype("f4") * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(cout,)).astype("f4"))
+    ref = _ref_stem(x, k1, b1, k2, b2)
+    got = fused_conv_stage(
+        x, k1, b1, k2, b2, compute_dtype=jnp.float32, interpret=True
+    )
+    assert got.shape == (b, h // 2, w // 2, cout) == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stem", ["fused", "fused2"])
+def test_fused_stem_detector_parity(stem):
+    """stem='fused'/'fused2' consumes a stem='conv' checkpoint unchanged: same
+    param tree, near-identical predictions (bf16 stem compute tolerance)."""
     from tdrn_tpu.config import TINY_64
     from tdrn_tpu.models import build_detector
 
@@ -51,7 +71,7 @@ def test_fused_stem_detector_parity():
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype("f4") * 5)
     conv_model = build_detector(TINY_64, temporal=False, tcb_channels=32, width_mult=0.125)
     fused_model = build_detector(
-        TINY_64, temporal=False, tcb_channels=32, width_mult=0.125, stem="fused"
+        TINY_64, temporal=False, tcb_channels=32, width_mult=0.125, stem=stem
     )
     params = jax.jit(conv_model.init)(jax.random.PRNGKey(0), x, None)
     tmpl = jax.eval_shape(lambda: fused_model.init(jax.random.PRNGKey(0), x, None))

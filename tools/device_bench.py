@@ -27,11 +27,13 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--config", default="vid_320")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
-    ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused", "fused2"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--no_detect", action="store_true",
                     help="skip decode/NMS/top-k (model-only ablation)")
     ap.add_argument("--no_temporal", action="store_true")
+    ap.add_argument("--fused_cascade", action="store_true",
+                    help="Pallas ARM->ODM cascade (ops/cascade_pallas.py)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +46,10 @@ def main():
     from tdrn_tpu.ops.priors import prior_boxes
 
     cfg = get_config(args.config)
+    if args.fused_cascade:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_cascade=True)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_detector(
         cfg, backbone=args.backbone, temporal=not args.no_temporal, dtype=dtype,
@@ -103,6 +109,7 @@ def main():
         "backbone": args.backbone,
         "config": args.config,
         "detect": not args.no_detect,
+        "fused_cascade": args.fused_cascade,
         "temporal": not args.no_temporal,
         "frames": args.frames,
         "device": str(jax.devices()[0]),
