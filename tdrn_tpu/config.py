@@ -47,6 +47,12 @@ class DetectorConfig:
     # Pallas kernel emitting class-major scores (ops/cascade_pallas.py);
     # False = the plain XLA-fusion path (ops/detection.decode_two_stage).
     fused_cascade: bool = False
+    # Streaming-profile candidate cap: keep only the top-M anchors image-wide
+    # (by max non-background class score) before the per-class sort+NMS, so
+    # the (C, P) sort becomes (P,)+(C, M). 0 = off (exact reference-parity
+    # Detect). Exact whenever fewer than M anchors pass conf_thresh — the
+    # overwhelmingly common case; see ops/detection.detect.
+    prefilter_anchors: int = 0
     # ARM negative-anchor filter threshold (SURVEY.md §2 #19/#20).
     arm_filter_thresh: float = 0.99
     # Pixel means (BGR order in the reference; we store RGB for our RGB pipeline).

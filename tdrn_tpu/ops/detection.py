@@ -50,6 +50,21 @@ def decode_two_stage(preds: RawPredictions, priors: Array, cfg: DetectorConfig):
     return boxes, scores
 
 
+def _prefilter(boxes: Array, scores: Array, cfg: DetectorConfig):
+    """Keep the top-M anchors image-wide by max non-background class score
+    (cfg.prefilter_anchors). Per-class NMS then sorts (C, M) instead of
+    (C, P). Exact vs the unfiltered path whenever < M anchors exceed
+    conf_thresh (dropped anchors all score below a kept anchor's max, and at
+    most M-1 anchors outrank any kept one in its class)."""
+    m = cfg.prefilter_anchors
+    if not m or m >= boxes.shape[1]:
+        return boxes, scores
+    per_anchor = jnp.max(scores[..., 1:], axis=-1)  # (B, P), bg excluded
+    _, idx = N._top_k(per_anchor, m, cfg.approx_topk)  # (B, M)
+    take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
+    return take(boxes), take(scores)
+
+
 def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
     """Full reference-style Detect: (B, C, top_k, 5) rows [score, x1, y1, x2, y2]."""
     if cfg.fused_cascade:
@@ -58,11 +73,17 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
         boxes, scores_cm = fused_refine_cascade(
             preds, priors, cfg, interpret=jax.default_backend() == "cpu"
         )
+        if cfg.prefilter_anchors:
+            boxes, scores = _prefilter(
+                boxes, jnp.swapaxes(scores_cm, 1, 2), cfg
+            )
+            scores_cm = jnp.swapaxes(scores, 1, 2)
         fn = lambda b, s: N.class_aware_nms_cm(
             b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
         )
         return jax.vmap(fn)(boxes, scores_cm)
     boxes, scores = decode_two_stage(preds, priors, cfg)
+    boxes, scores = _prefilter(boxes, scores, cfg)
     fn = lambda b, s: N.class_aware_nms(
         b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
     )

@@ -1,0 +1,68 @@
+"""Image-wide anchor prefilter (cfg.prefilter_anchors, ops/detection.py).
+
+Exactness property: when fewer than M anchors clear conf_thresh, prefiltered
+detect() output is IDENTICAL to the exact path (every above-threshold anchor
+survives the top-M cut; below-threshold anchors are zeroed by the NMS either
+way). Also a smoke that dense (pathological) score fields stay well-formed.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tdrn_tpu.config import TINY_64
+from tdrn_tpu.ops.detection import RawPredictions, detect
+from tdrn_tpu.ops.priors import prior_boxes
+
+
+def _sparse_preds(rng, b, p, c, hot=40):
+    """odm_conf logits such that only `hot` anchors clear conf_thresh."""
+    arm_loc = rng.normal(size=(b, p, 4)).astype("f4") * 0.3
+    arm_conf = np.zeros((b, p, 2), "f4")
+    arm_conf[..., 1] = 5.0  # ARM says "object" everywhere (no ARM filtering)
+    odm_loc = rng.normal(size=(b, p, 4)).astype("f4") * 0.3
+    # background-dominant logits -> class scores ~ 3e-5, below conf_thresh 0.01
+    odm_conf = np.zeros((b, p, c), "f4")
+    odm_conf[..., 0] = 10.0
+    for bi in range(b):
+        idx = rng.choice(p, size=hot, replace=False)
+        for i in idx:
+            odm_conf[bi, i, int(rng.integers(1, c))] = 12.0
+    return RawPredictions(
+        jnp.asarray(arm_loc), jnp.asarray(arm_conf),
+        jnp.asarray(odm_loc), jnp.asarray(odm_conf),
+    )
+
+
+def test_prefilter_exact_when_sparse():
+    priors = prior_boxes(TINY_64)
+    p = priors.shape[0]
+    preds = _sparse_preds(np.random.default_rng(0), 2, p, TINY_64.num_classes)
+    exact = detect(preds, priors, TINY_64)
+    m = 128
+    fast = detect(
+        preds, priors, dataclasses.replace(TINY_64, prefilter_anchors=m)
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
+
+
+def test_prefilter_dense_well_formed():
+    priors = prior_boxes(TINY_64)
+    p = priors.shape[0]
+    rng = np.random.default_rng(1)
+    preds = RawPredictions(
+        jnp.asarray(rng.normal(size=(1, p, 4)).astype("f4") * 0.3),
+        jnp.asarray(rng.normal(size=(1, p, 2)).astype("f4")),
+        jnp.asarray(rng.normal(size=(1, p, 4)).astype("f4") * 0.3),
+        jnp.asarray(rng.normal(size=(1, p, TINY_64.num_classes)).astype("f4") * 3),
+    )
+    out = detect(
+        preds, priors, dataclasses.replace(TINY_64, prefilter_anchors=64)
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, TINY_64.num_classes, TINY_64.top_k, 5)
+    assert np.isfinite(out).all()
+    assert (out[..., 0] >= 0).all() and (out[..., 0] <= 1).all()
+    # background row empty
+    assert (out[:, 0] == 0).all()

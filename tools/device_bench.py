@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--no_temporal", action="store_true")
     ap.add_argument("--fused_cascade", action="store_true",
                     help="Pallas ARM->ODM cascade (ops/cascade_pallas.py)")
+    ap.add_argument("--prefilter", type=int, default=0,
+                    help="image-wide anchor cap before per-class NMS (0=off)")
     args = ap.parse_args()
 
     import jax
@@ -46,10 +48,13 @@ def main():
     from tdrn_tpu.ops.priors import prior_boxes
 
     cfg = get_config(args.config)
-    if args.fused_cascade:
+    if args.fused_cascade or args.prefilter:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, fused_cascade=True)
+        cfg = dataclasses.replace(
+            cfg, fused_cascade=args.fused_cascade,
+            prefilter_anchors=args.prefilter,
+        )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_detector(
         cfg, backbone=args.backbone, temporal=not args.no_temporal, dtype=dtype,
@@ -110,6 +115,7 @@ def main():
         "config": args.config,
         "detect": not args.no_detect,
         "fused_cascade": args.fused_cascade,
+        "prefilter": args.prefilter,
         "temporal": not args.no_temporal,
         "frames": args.frames,
         "device": str(jax.devices()[0]),

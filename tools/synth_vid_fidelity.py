@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--gen_only", action="store_true")
     ap.add_argument("--skip_gen", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--staged", action=argparse.BooleanOptionalAction, default=True,
+                    help="reference-style staged training: frame model first, "
+                         "clip model fine-tunes from it (--init_from)")
     args = ap.parse_args()
 
     data_root = os.path.join(args.out, "data")
@@ -182,16 +185,18 @@ def main():
         "--grad_clip", "10",
     ]
     if not args.skip_train:
-        _run([sys.executable, "train.py", "--clip",
-              "--seq_len", str(args.seq_len),
-              "--batch_size", str(args.batch_size),
-              "--max_iter", str(args.steps),
-              "--save_folder", w_clip, "--save_every", str(args.steps)] + common,
-             env)
         _run([sys.executable, "train.py",
               "--batch_size", str(args.frame_batch_size),
               "--max_iter", str(args.steps),
               "--save_folder", w_frame, "--save_every", str(args.steps)] + common,
+             env)
+        staged = ["--init_from", w_frame] if args.staged else []
+        _run([sys.executable, "train.py", "--clip",
+              "--seq_len", str(args.seq_len),
+              "--batch_size", str(args.batch_size),
+              "--max_iter", str(args.steps),
+              "--save_folder", w_clip, "--save_every", str(args.steps)]
+             + staged + common,
              env)
 
     ev = [sys.executable, "eval.py", "--dataset", "vid_320",

@@ -32,6 +32,11 @@ def parse_args():
                     help="torch checkpoint to graft into the backbone: "
                          "vgg16_reducedfc.pth / torchvision vgg16 (vgg16) or "
                          "a torchvision resnet101 state dict (resnet101)")
+    ap.add_argument("--init_from", default=None,
+                    help="init params from another run's checkpoint dir "
+                         "(subtree-tolerant graft; e.g. staged TDRN training: "
+                         "clip fine-tuning from a frame-trained detector — "
+                         "the fresh temporal subtree keeps its init)")
     ap.add_argument("--clip", action="store_true", help="VID clip (temporal) training")
     ap.add_argument(
         "--image_sets",
@@ -150,6 +155,18 @@ def main():
                 print(f"pretrained: skipped {skipped}")
         print(f"pretrained: grafted {len(loaded)} tensors from {args.pretrained}")
         ts = ts._replace(params=jax.tree.map(jnp.asarray, params))
+    if args.init_from:
+        from tdrn_tpu.train.checkpoint import CheckpointManager as _Mgr
+
+        out = _Mgr(args.init_from).restore_params(ts.params)
+        if out is None:
+            raise SystemExit(f"--init_from: no checkpoint in {args.init_from}")
+        params, missing, extra = out
+        ts = ts._replace(params=jax.tree.map(jnp.asarray, params))
+        print(
+            f"init_from {args.init_from}: {len(missing)} fresh subtree(s) "
+            f"{missing[:3]}, {len(extra)} unused {extra[:3]}"
+        )
     ts = replicate_tree(ts, mesh)
 
     ckpt = CheckpointManager(args.save_folder, save_every=args.save_every)
