@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
     ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused", "fused2"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--prefilter", type=int, default=512,
+                    help="streaming-profile anchor cap before per-class NMS "
+                         "(0 = exact reference-parity Detect; eval.py always "
+                         "uses the exact path)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,8 @@ def main():
     x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), dtype)
     params = model.init(rng, x, model.zero_state(args.batch))
 
-    det = StreamingDetector(model, params, num_streams=args.batch)
+    det = StreamingDetector(model, params, num_streams=args.batch,
+                            prefilter=args.prefilter or None)
     frame_rng = np.random.RandomState(0)
     # Pre-upload the frame batch: we benchmark the chip, not the dev tunnel's
     # host->device bandwidth (a co-located production host pays ~us for this
@@ -106,6 +111,7 @@ def main():
         "backbone": args.backbone,
         "stem": args.stem,
         "cell": args.cell,
+        "prefilter": args.prefilter,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -45,9 +45,20 @@ class StreamingDetector:
         params: Any,
         num_streams: int = 1,
         top_k: Optional[int] = None,
+        prefilter: Optional[int] = None,
     ):
+        """prefilter: image-wide anchor cap before per-class NMS for the
+        streaming path (cfg.prefilter_anchors; exact whenever fewer anchors
+        clear conf_thresh — see ops/detection._prefilter). None keeps the
+        config's setting; eval paths construct with the exact default."""
+        import dataclasses
+
         self.model = model
         self.cfg = model.cfg
+        if prefilter is not None:
+            self.cfg = dataclasses.replace(
+                model.cfg, prefilter_anchors=int(prefilter)
+            )
         self.params = params
         self.num_streams = num_streams
         self.top_k = top_k or model.cfg.top_k
