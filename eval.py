@@ -41,6 +41,10 @@ def parse_args():
                     help="11-point 07 AP (default) / --no-use_07_metric = continuous AP")
     ap.add_argument("--results_dir", default=None, help="write VOC-format det files")
     ap.add_argument("--max_images", type=int, default=0, help="0 = all")
+    ap.add_argument("--prefilter", type=int, default=0,
+                    help="anchor-prefilter cap (0 = exact reference-parity "
+                         "Detect, the default; >0 = the streaming fast path, "
+                         "for quantifying its mAP neutrality)")
     return ap.parse_args()
 
 
@@ -96,7 +100,8 @@ def main():
                 snippets.append(snip)
                 if args.max_images and count >= args.max_images:
                     break
-            det = StreamingDetector(model, params, num_streams=args.batch_size)
+            det = StreamingDetector(model, params, num_streams=args.batch_size,
+                                    prefilter=args.prefilter or None)
             accum = run_streaming(det, snippets, args.score_thresh)
         else:
             items = []
@@ -109,7 +114,7 @@ def main():
                 img_id = f"{rel}/{stem}"
                 all_gt[img_id] = (boxes, labels, np.zeros(len(labels), bool))
                 items.append((img_id, img.shape[:2], prep(img)))
-            forward = make_single_image_forward(model)
+            forward = make_single_image_forward(model, prefilter=args.prefilter or None)
             accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
     else:
         if args.split:
@@ -126,7 +131,7 @@ def main():
                 difficult = np.zeros(len(labels), bool)
             all_gt[img_id] = (boxes, labels, difficult)
             items.append((img_id, img.shape[:2], prep(img)))
-        forward = make_single_image_forward(model)
+        forward = make_single_image_forward(model, prefilter=args.prefilter or None)
         accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
 
     dets_np = finalize(accum)

@@ -221,9 +221,15 @@ def make_clip_forward(model: TDRN, top_k: Optional[int] = None):
     return run
 
 
-def make_single_image_forward(model: TDRN, top_k: Optional[int] = None):
+def make_single_image_forward(
+    model: TDRN, top_k: Optional[int] = None, prefilter: Optional[int] = None
+):
     """Jitted single-image detect (config 1/2 of BASELINE.json)."""
+    import dataclasses
+
     cfg = model.cfg
+    if prefilter is not None:
+        cfg = dataclasses.replace(cfg, prefilter_anchors=int(prefilter))
     k = top_k or cfg.top_k
 
     @jax.jit

@@ -129,6 +129,8 @@ def main():
     ap.add_argument("--gen_only", action="store_true")
     ap.add_argument("--skip_gen", action="store_true")
     ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--extra_train_args", default="",
+                    help="extra train.py flags, e.g. '--stem s2d'")
     args = ap.parse_args()
 
     data_root = os.path.join(args.out, "data")
@@ -150,7 +152,7 @@ def main():
         "--warmup", "200", "--milestones", str(int(args.steps * 0.75)),
         "--save_folder", weights, "--save_every", str(args.steps),
         "--no_photometric", "--log_every", "50", "--seed", str(args.seed),
-    ]
+    ] + (args.extra_train_args.split() if args.extra_train_args else [])
     subprocess.run(train_cmd, check=True, cwd=REPO, env=env)
 
     eval_cmd = [
