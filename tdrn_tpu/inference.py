@@ -62,6 +62,10 @@ class StreamingDetector:
         self.params = params
         self.num_streams = num_streams
         self.top_k = top_k or model.cfg.top_k
+        import threading
+
+        self._reset_lock = threading.Lock()
+        self._pending_reset: set = set()
         self._state = model.zero_state(num_streams) if model.temporal else None
         self._step = self._build_step()
 
@@ -93,10 +97,16 @@ class StreamingDetector:
         return step
 
     def reset(self, stream_ids: Optional[List[int]] = None):
-        """Mark streams for state reset at the next frame (clip boundary)."""
+        """Mark streams for state reset at the next frame (clip boundary).
+
+        Thread-safe vs a concurrent detect(): the serving runtime calls this
+        from client threads while the dispatcher thread is in detect() — the
+        pending set is mutated under a lock so a reset enqueued mid-step is
+        applied on the NEXT step rather than silently dropped."""
         if stream_ids is None:
             stream_ids = list(range(self.num_streams))
-        self._pending_reset = getattr(self, "_pending_reset", set()) | set(stream_ids)
+        with self._reset_lock:
+            self._pending_reset |= set(stream_ids)
 
     def detect(
         self, frames_u8: np.ndarray, active: Optional[np.ndarray] = None
@@ -107,11 +117,12 @@ class StreamingDetector:
         temporal state this step (their detections are garbage; callers that
         pass ``active`` must ignore those lanes' outputs).
         """
-        pending = getattr(self, "_pending_reset", set())
+        with self._reset_lock:
+            pending = self._pending_reset
+            self._pending_reset = set()
         reset = np.zeros((self.num_streams,), np.float32)
         for i in pending:
             reset[i] = 1.0
-        self._pending_reset = set()
         if active is None:
             active_arr = jnp.ones((self.num_streams,), jnp.float32)
         else:
@@ -156,12 +167,21 @@ def load_inference_model(
     into a non-temporal eval model and vice versa — the extra/missing temporal
     subtree is reported, not fatal.
     """
+    import json
+    import os
+
     from tdrn_tpu.config import get_config
     from tdrn_tpu.models import build_detector
-    from tdrn_tpu.train.checkpoint import CheckpointManager
+    from tdrn_tpu.train.checkpoint import META_FILENAME, CheckpointManager
 
-    mgr = CheckpointManager(checkpoint_dir)
-    meta = mgr.load_meta() or {}
+    # Read meta without constructing the orbax manager: random_init callers
+    # (e.g. serve.py --random_init smoke tests) must not mkdir checkpoint
+    # trees as a side effect.
+    meta_path = os.path.join(checkpoint_dir, META_FILENAME)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
 
     def pick(cli, key, default):
         return cli if cli is not None else meta.get(key, default)
@@ -183,10 +203,23 @@ def load_inference_model(
     template = jax.jit(model.init)(jax.random.PRNGKey(seed), x, state)
     if random_init:
         return LoadedModel(model, template, cfg, 0, meta)
+    mgr = CheckpointManager(checkpoint_dir)
     out = mgr.restore_params(template)
     if out is None:
         raise FileNotFoundError(f"no checkpoint found in {checkpoint_dir}")
     params, missing, extra = out
+    # Only the temporal subtree may legitimately stay at init (clip-trained
+    # <-> single-frame eval). Anything else fresh means the model was built
+    # with the wrong geometry (e.g. a pre-meta vid checkpoint evaluated with
+    # the voc fallback: mismatched head shapes) — randomly-initialized heads
+    # silently producing garbage is worse than an error.
+    bad = [m for m in missing if "/temporal" not in m]
+    if bad:
+        raise ValueError(
+            f"checkpoint/model mismatch: {len(bad)} non-temporal subtree(s) "
+            f"absent or shape-mismatched in {checkpoint_dir}: {bad[:6]} — "
+            "pass the matching --dataset/--backbone (or fix model_meta.json)"
+        )
     if verbose and (missing or extra):
         print(
             f"restore: {len(missing)} template subtree(s) kept at init "

@@ -51,14 +51,16 @@ def ssd_detect(
     """Single-stage Detect: softmax + decode + per-class NMS -> (B, C, K, 5)."""
     boxes = B.decode(loc, priors, cfg.variance)
     scores = jax.nn.softmax(conf, axis=-1)
-    fn = lambda b, s: N.class_aware_nms(b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh)
+    fn = lambda b, s: N.class_aware_nms(
+        b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
+    )
     return jax.vmap(fn)(boxes, scores)
 
 
 def ssd_detect_topk(loc, conf, priors, cfg: DetectorConfig, top_k: Optional[int] = None):
     det = ssd_detect(loc, conf, priors, cfg)
     k = top_k or cfg.top_k
-    return jax.vmap(lambda d: N.flatten_detections(d, k))(det)
+    return jax.vmap(lambda d: N.flatten_detections(d, k, cfg.approx_topk))(det)
 
 
 def build_ssd(cfg: DetectorConfig, backbone: str = "vgg16", dtype=jnp.float32,

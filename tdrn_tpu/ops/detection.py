@@ -73,11 +73,16 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
         boxes, scores_cm = fused_refine_cascade(
             preds, priors, cfg, interpret=jax.default_backend() == "cpu"
         )
-        if cfg.prefilter_anchors:
-            boxes, scores = _prefilter(
-                boxes, jnp.swapaxes(scores_cm, 1, 2), cfg
+        if cfg.prefilter_anchors and cfg.prefilter_anchors < boxes.shape[1]:
+            # Class-major variant: max over class rows (bg row pre-zeroed by
+            # the kernel), gather anchors on the last axis — no transpose.
+            m = cfg.prefilter_anchors
+            per_anchor = jnp.max(scores_cm, axis=1)  # (B, P)
+            _, idx = N._top_k(per_anchor, m, cfg.approx_topk)
+            boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+            scores_cm = jnp.take_along_axis(
+                scores_cm, idx[:, None, :], axis=2
             )
-            scores_cm = jnp.swapaxes(scores, 1, 2)
         fn = lambda b, s: N.class_aware_nms_cm(
             b, s, cfg.nms_thresh, cfg.top_k, cfg.conf_thresh, cfg.approx_topk
         )

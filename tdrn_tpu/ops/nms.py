@@ -131,12 +131,10 @@ def class_aware_nms(
     # Zero the background column so its NMS output is empty.
     cls_mask = (jnp.arange(num_classes) > 0)[None, :]
     scores = jnp.where(cls_mask, class_scores, 0.0)
-
-    def per_class(s):
-        r = nms_fixed(boxes, s, iou_thresh, top_k, score_thresh, approx_topk)
-        return jnp.concatenate([r.scores[:, None], r.boxes], axis=-1)
-
-    return jax.vmap(per_class, in_axes=1)(scores)  # (C, K, 5)
+    return class_aware_nms_cm(
+        boxes, jnp.swapaxes(scores, 0, 1), iou_thresh, top_k, score_thresh,
+        approx_topk,
+    )
 
 
 def class_aware_nms_cm(

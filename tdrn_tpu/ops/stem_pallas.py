@@ -143,7 +143,8 @@ def fused_conv_stage(
     """
     b, h, w, cin = x.shape
     cmid, n = k1.shape[-1], k2.shape[-1]
-    assert h % rows == 0 and w % 2 == 0, (h, w)
+    # rows % 4: the 4-row halo view's block index math requires it.
+    assert h % rows == 0 and w % 2 == 0 and rows % 4 == 0, (h, w, rows)
     assert k1.shape[:3] == (3, 3, cin) and k2.shape == (3, 3, cmid, n)
     out_dtype = out_dtype or x.dtype
 
@@ -196,7 +197,8 @@ def fused_stem_stage1(
     """
     b, h, w, c = x.shape
     n = k1.shape[-1]
-    assert h % rows == 0 and w % 2 == 0, (h, w)
+    # rows % 2: the 2-row halo view's block index math requires it.
+    assert h % rows == 0 and w % 2 == 0 and rows % 2 == 0, (h, w, rows)
     assert k1.shape[:3] == (3, 3, c) and k2.shape == (3, 3, n, n)
     out_dtype = out_dtype or x.dtype
 

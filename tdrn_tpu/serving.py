@@ -151,7 +151,6 @@ class InferenceServer:
                 req.result = None
                 req.event.set()
             self._queues[lane] = []
-            self.det.reset([lane])
         self._lane_of[stream_id] = lane
         self.det.reset([lane])
         return lane

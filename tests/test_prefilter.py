@@ -47,6 +47,21 @@ def test_prefilter_exact_when_sparse():
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
 
 
+def test_prefilter_exact_when_sparse_fused_cascade():
+    """Class-major prefilter (fused-cascade path) matches the exact path."""
+    priors = prior_boxes(TINY_64)
+    p = priors.shape[0]
+    preds = _sparse_preds(np.random.default_rng(2), 2, p, TINY_64.num_classes)
+    exact = detect(preds, priors, TINY_64)
+    fast = detect(
+        preds, priors,
+        dataclasses.replace(TINY_64, prefilter_anchors=128, fused_cascade=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(exact), atol=1e-5, rtol=1e-4
+    )
+
+
 def test_prefilter_dense_well_formed():
     priors = prior_boxes(TINY_64)
     p = priors.shape[0]
