@@ -39,7 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=8, help="concurrent streams")
+    ap.add_argument("--batch", type=int, default=16, help="concurrent streams")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--config", default="vid_320", help="detector config name")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
@@ -49,6 +49,12 @@ def main():
                     help="streaming-profile anchor cap before per-class NMS "
                          "(0 = exact reference-parity Detect; eval.py always "
                          "uses the exact path)")
+    ap.add_argument("--bf16_weights", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="resident-bf16 feature-pyramid weights + carry, fp32 "
+                         "heads/detect (utils/precision.py) — the streaming "
+                         "serving profile default; --no-bf16_weights reverts "
+                         "to full fp32")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +73,10 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), dtype)
     params = model.init(rng, x, model.zero_state(args.batch))
+    if args.bf16_weights:
+        from tdrn_tpu.utils.precision import apply_inference_precision
+
+        model, params = apply_inference_precision(model, params, "bf16")
 
     det = StreamingDetector(model, params, num_streams=args.batch,
                             prefilter=args.prefilter or None)
@@ -108,6 +118,7 @@ def main():
         "step_ms": round(total / args.frames * 1e3, 3),
         "batch": args.batch,
         "dtype": args.dtype,
+        "bf16_weights": args.bf16_weights,
         "backbone": args.backbone,
         "stem": args.stem,
         "cell": args.cell,

@@ -45,6 +45,13 @@ def parse_args():
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
                          "for quantifying its mAP neutrality)")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                    help="bf16 = resident-bf16 feature pyramid, fp32 "
+                         "heads/detect (utils/precision.py)")
+    ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
+                    help="resnet norm override when the checkpoint meta lacks "
+                         "it (FrozenBN/GroupNorm param trees are identical, "
+                         "so a wrong norm restores silently)")
     return ap.parse_args()
 
 
@@ -67,7 +74,8 @@ def main():
     try:
         model, params, cfg, step, meta = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            stem=args.stem, temporal=args.temporal,
+            stem=args.stem, temporal=args.temporal, precision=args.precision,
+            backbone_norm=args.backbone_norm,
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))

@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--backbone", default="vgg16")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--stem", default="conv", choices=["conv", "s2d", "fused", "fused2"])
+    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--prefilter", type=int, default=0)
+    ap.add_argument("--bf16_weights", action="store_true",
+                    help="resident-bf16 serving profile (utils/precision.py)")
+    ap.add_argument("--chunk", type=int, default=1)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--out", default="/tmp/tdrn_trace")
     args = ap.parse_args()
@@ -37,14 +42,21 @@ def main():
     from tdrn_tpu.utils.logging import Timer, profile_trace
 
     cfg = get_config(args.config)
-    model = build_detector(cfg, backbone=args.backbone, temporal=True, stem=args.stem)
+    model = build_detector(cfg, backbone=args.backbone, temporal=True,
+                           stem=args.stem, temporal_cell=args.cell)
     x = jnp.zeros((args.batch, cfg.size, cfg.size, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x, model.zero_state(args.batch))
-    det = StreamingDetector(model, params, num_streams=args.batch)
+    if args.bf16_weights:
+        from tdrn_tpu.utils.precision import apply_inference_precision
+
+        model, params = apply_inference_precision(model, params, "bf16")
+    det = StreamingDetector(model, params, num_streams=args.batch,
+                            prefilter=args.prefilter or None, chunk=args.chunk)
+    shape = (args.batch, cfg.size, cfg.size, 3)
+    if args.chunk > 1:
+        shape = (args.chunk,) + shape
     frames = jax.device_put(
-        np.random.RandomState(0).randint(
-            0, 255, (args.batch, cfg.size, cfg.size, 3), dtype=np.uint8
-        )
+        np.random.RandomState(0).randint(0, 255, shape, dtype=np.uint8)
     )
     out = det.detect(frames)
     jax.tree.map(np.asarray, out)  # compile + sync

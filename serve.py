@@ -38,6 +38,12 @@ def parse_args():
     ap.add_argument("--window_ms", type=float, default=3.0, help="micro-batch window")
     ap.add_argument("--random_init", action="store_true",
                     help="serve an untrained model (smoke testing)")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                    help="bf16 = resident-bf16 feature pyramid, fp32 "
+                         "heads/detect (utils/precision.py)")
+    ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
+                    help="resnet norm override (identical param trees restore "
+                         "silently into the wrong norm)")
     ap.add_argument("--mode", default="sync", choices=["sync", "threaded"],
                     help="sync: single-threaded HTTP, detect inline on the "
                          "main thread (required on the axon dev tunnel); "
@@ -54,7 +60,8 @@ def build_server(args):
     try:
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            stem=args.stem,
+            stem=args.stem, precision=args.precision,
+            backbone_norm=args.backbone_norm,
             temporal=True, random_init=args.random_init, dataset_fallback="vid_320",
         )
     except FileNotFoundError as e:

@@ -139,11 +139,22 @@ class VIDDetection:
             return self._prepare(*self._load_frame(rel, stem), rng=rng)
         rel, stems = self.snippets[index]
         t = self.seq_len
+        pad_from = None
         if len(stems) >= t:
             start = int(rng.integers(0, len(stems) - t + 1))
             chosen = stems[start : start + t]
-        else:  # short snippet: repeat last frame to fill the clip
+        else:
+            # Short snippet: the clip keeps its static (T, ...) shape by
+            # repeating the last frame, but the repeats get ALL their GT
+            # marked invalid below so they contribute ZERO loss — negatives
+            # are mined 3:1 off each image's positive count (train/loss.py),
+            # so a no-valid-GT frame yields no positives and no mined
+            # negatives. Without the mask, a 3-frame snippet trains the GRU
+            # on 5 duplicate trailing frames — an artificial static-world
+            # prior (VERDICT round-2 weak #8). The masked tail sits at the
+            # clip END, so its state updates never feed a loss-bearing frame.
             chosen = stems + [stems[-1]] * (t - len(stems))
+            pad_from = len(stems)
         frames = [self._load_frame(rel, s) for s in chosen]
         if self.transform is not None and hasattr(self.transform, "sample_params"):
             # Clip-consistent augmentation: ONE parameter draw (photometric,
@@ -163,7 +174,10 @@ class VIDDetection:
         else:
             samples = [self._prepare(img, b, l, rng=rng) for img, b, l in frames]
         imgs, bs, ls, vs = zip(*samples)
-        return np.stack(imgs), np.stack(bs), np.stack(ls), np.stack(vs)
+        vs = np.stack(vs)
+        if pad_from is not None:
+            vs[pad_from:] = False  # masked tail: repeated frames train nothing
+        return np.stack(imgs), np.stack(bs), np.stack(ls), vs
 
     def sample(self, index: int, salt: int = 0):
         """Deterministic per-(seed, salt, index) sample; the loader passes the

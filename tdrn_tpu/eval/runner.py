@@ -71,6 +71,7 @@ def run_batched(
 
     accum = new_accum()
     n = len(items)
+    overflow = 0
     for start in range(0, n, batch_size):
         chunk = items[start : start + batch_size]
         batch = np.stack([f for _, _, f in chunk]).astype(np.uint8)
@@ -81,10 +82,19 @@ def run_batched(
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)
+        if det.prefilter_overflow is not None:
+            overflow += int(
+                np.asarray(det.prefilter_overflow)[: len(chunk)].sum()
+            )
         for bi, (img_id, hw, _) in enumerate(chunk):
             record(accum, img_id, hw, boxes[bi], scores[bi], classes[bi], score_thresh)
         if progress_every and (start // batch_size) % progress_every == 0:
             print(f"{min(start + batch_size, n)}/{n} images", flush=True)
+    if overflow:
+        # Dense-field safety (ops/detection.prefilter_overflow): on these
+        # frames the anchor-prefilter exactness precondition failed, so APs
+        # may deviate from the exact path.
+        print(f"prefilter overflow on {overflow}/{n} images", flush=True)
     return accum
 
 

@@ -46,13 +46,23 @@ class StreamingDetector:
         num_streams: int = 1,
         top_k: Optional[int] = None,
         prefilter: Optional[int] = None,
+        chunk: int = 1,
     ):
         """prefilter: image-wide anchor cap before per-class NMS for the
         streaming path (cfg.prefilter_anchors; exact whenever fewer anchors
         clear conf_thresh — see ops/detection._prefilter). None keeps the
-        config's setting; eval paths construct with the exact default."""
+        config's setting; eval paths construct with the exact default.
+
+        chunk: frames per stream per step (pipelined streaming). chunk=2
+        batches the state-independent model across 2 consecutive frames
+        (models/detector.py TDRN.chunk), trading one frame of latency for
+        near-batched throughput on a single stream; detect() then takes
+        (chunk, S, H, W, 3) and returns (chunk, S, ...) detections."""
         import dataclasses
 
+        self.chunk = int(chunk)
+        if self.chunk > 1:
+            model = model.clone(chunk=self.chunk)
         self.model = model
         self.cfg = model.cfg
         if prefilter is not None:
@@ -71,10 +81,17 @@ class StreamingDetector:
 
     def _build_step(self):
         model, cfg, top_k = self.model, self.cfg, self.top_k
+        chunk, streams = self.chunk, self.num_streams
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, state, frames_u8, reset, active):
-            x = preprocess_batch(frames_u8, cfg, model.dtype)
+            if chunk > 1:
+                # (chunk, S, H, W, 3) frame-major -> (chunk*S, H, W, 3); the
+                # reset/active masks apply once at the chunk boundary.
+                frames_u8 = frames_u8.reshape(
+                    chunk * streams, *frames_u8.shape[2:]
+                )
+            x = preprocess_batch(frames_u8, cfg, model.dtype, model.fold_mean)
             if state is not None:
                 # Per-stream reset: zero this lane's carried features.
                 state = [
@@ -92,6 +109,10 @@ class StreamingDetector:
                 ]
             priors = prior_boxes(cfg)
             det = detect_topk(preds, priors, cfg, top_k)
+            if chunk > 1:
+                det = jax.tree.map(
+                    lambda a: a.reshape(chunk, streams, *a.shape[1:]), det
+                )
             return new_state, det
 
         return step
@@ -111,7 +132,10 @@ class StreamingDetector:
     def detect(
         self, frames_u8: np.ndarray, active: Optional[np.ndarray] = None
     ) -> TopDetections:
-        """frames_u8: (S, H, W, 3) uint8 RGB. Returns fixed-shape detections.
+        """frames_u8: (S, H, W, 3) uint8 RGB — or (chunk, S, H, W, 3) when
+        constructed with chunk>1 (pipelined streaming; detections come back
+        with the matching leading (chunk, S) axes). Returns fixed-shape
+        detections.
 
         active: optional (S,) 0/1 mask — lanes with 0 do not advance their
         temporal state this step (their detections are garbage; callers that
@@ -127,10 +151,18 @@ class StreamingDetector:
             active_arr = jnp.ones((self.num_streams,), jnp.float32)
         else:
             active_arr = jnp.asarray(active, jnp.float32)
-        self._state, det = self._step(
-            self.params, self._state, jnp.asarray(frames_u8), jnp.asarray(reset),
-            active_arr,
-        )
+        try:
+            self._state, det = self._step(
+                self.params, self._state, jnp.asarray(frames_u8),
+                jnp.asarray(reset), active_arr,
+            )
+        except Exception:
+            # A failed step (e.g. wrong frame shape) must not swallow queued
+            # clip-boundary resets — re-merge them for the next attempt
+            # (ADVICE round 2).
+            with self._reset_lock:
+                self._pending_reset |= pending
+            raise
         return det
 
 
@@ -151,7 +183,9 @@ def load_inference_model(
     stem: Optional[str] = None,
     temporal_cell: Optional[str] = None,
     tcb_channels: Optional[int] = None,
+    backbone_norm: Optional[str] = None,
     dtype=jnp.float32,
+    precision: Optional[str] = None,
     random_init: bool = False,
     seed: int = 0,
     verbose: bool = True,
@@ -166,6 +200,10 @@ def load_inference_model(
     (checkpoint.restore_params): a clip-trained (temporal) checkpoint loads
     into a non-temporal eval model and vice versa — the extra/missing temporal
     subtree is reported, not fatal.
+
+    precision="bf16" converts to the resident-bf16 inference profile after
+    restore (utils/precision.py): bf16 feature-pyramid weights + carry, fp32
+    ARM/ODM heads and detect. The checkpoint itself stays fp32.
     """
     import json
     import os
@@ -187,21 +225,40 @@ def load_inference_model(
         return cli if cli is not None else meta.get(key, default)
 
     cfg = get_config(pick(dataset, "dataset", dataset_fallback))
+    backbone_name = pick(backbone, "backbone", "vgg16")
+    # FrozenBN and GroupNorm resnets have identical param trees (per-channel
+    # scale/bias, same shapes), so a wrong norm restores silently and produces
+    # wrong activations — surface the ambiguity instead (ADVICE round 2).
+    if (
+        backbone_name == "resnet101"
+        and backbone_norm is None
+        and "backbone_norm" not in meta
+    ):
+        print(
+            "WARNING: resnet checkpoint meta lacks 'backbone_norm'; assuming "
+            "'frozen'. A GroupNorm-trained checkpoint restores into a FrozenBN "
+            "model without error but computes garbage — pass backbone_norm "
+            "explicitly (CLI --backbone_norm) if this checkpoint used "
+            "--backbone_norm group."
+        )
     model = build_detector(
         cfg,
-        backbone=pick(backbone, "backbone", "vgg16"),
+        backbone=backbone_name,
         temporal=bool(pick(temporal, "temporal", True)),
         stem=pick(stem, "stem", "conv"),
         temporal_cell=pick(temporal_cell, "temporal_cell", "convgru"),
         tcb_channels=int(pick(tcb_channels, "tcb_channels", 256)),
-        backbone_norm=meta.get("backbone_norm", "frozen"),
+        backbone_norm=pick(backbone_norm, "backbone_norm", "frozen"),
         width_mult=float(meta.get("width_mult", 1.0)),
         dtype=dtype,
     )
     x = jnp.zeros((1, cfg.size, cfg.size, 3), model.dtype)
     state = model.zero_state(1) if model.temporal else None
     template = jax.jit(model.init)(jax.random.PRNGKey(seed), x, state)
+    from tdrn_tpu.utils.precision import apply_inference_precision
+
     if random_init:
+        model, template = apply_inference_precision(model, template, precision)
         return LoadedModel(model, template, cfg, 0, meta)
     mgr = CheckpointManager(checkpoint_dir)
     out = mgr.restore_params(template)
@@ -225,6 +282,7 @@ def load_inference_model(
             f"restore: {len(missing)} template subtree(s) kept at init "
             f"{missing[:4]}, {len(extra)} checkpoint subtree(s) unused {extra[:4]}"
         )
+    model, params = apply_inference_precision(model, params, precision)
     return LoadedModel(model, params, cfg, mgr.latest_step() or 0, meta)
 
 
@@ -244,7 +302,7 @@ def make_clip_forward(model: TDRN, top_k: Optional[int] = None):
         priors = prior_boxes(cfg)
 
         def step(state, x_t):
-            x = preprocess_batch(x_t, cfg, model.dtype)
+            x = preprocess_batch(x_t, cfg, model.dtype, model.fold_mean)
             preds, new_state = model.apply(params, x, state)
             return new_state, detect_topk(preds, priors, cfg, k)
 
@@ -267,7 +325,7 @@ def make_single_image_forward(
 
     @jax.jit
     def run(params, images_u8):
-        x = preprocess_batch(images_u8, cfg, model.dtype)
+        x = preprocess_batch(images_u8, cfg, model.dtype, model.fold_mean)
         state = model.zero_state(images_u8.shape[0]) if model.temporal else None
         preds, _ = model.apply(params, x, state)
         return detect_topk(preds, prior_boxes(cfg), cfg, k)

@@ -61,6 +61,27 @@ class TDRN(nn.Module):
     temporal_cell: str = "convgru"  # or "light" (models/temporal.py)
     backbone_norm: str = "frozen"  # resnet only: "frozen" | "group"
     dtype: Dtype = jnp.float32
+    # Compute dtype for the ARM/ODM heads; None = same as `dtype`. The
+    # resident-bf16 inference profile (utils/precision.py) sets dtype=bf16
+    # with head_dtype=fp32 so the prediction logits (which feed detect
+    # directly) stay full precision while the feature pyramid runs bf16.
+    head_dtype: Optional[Dtype] = None
+    # Streaming micro-batch depth (inference): process `chunk` consecutive
+    # frames per stream in ONE forward. x is (chunk*B, H, W, 3) FRAME-MAJOR
+    # (frame 0's B streams, then frame 1's, ...), state stays (B, ...). The
+    # state-independent ~85% of the model (backbone/ARM/TCB/ODM + detect)
+    # batches across chunk*B samples — reclaiming the batch-efficiency a
+    # serial-depth-bound batch-1 stream forfeits (BENCH.md: b1 costs ~3.4x
+    # the per-frame b8 cost) — while the cheap temporal cell steps the chunk
+    # sequentially, keeping recurrence exact. Latency grows by (chunk-1)
+    # frames; throughput approaches the batched roofline. Training always
+    # uses chunk=1 (the clip scan already batches via lax.scan + B).
+    chunk: int = 1
+    # Inference-only: the preprocess mean-subtract is folded into conv1_1
+    # (utils/precision.apply_fold_mean) and the model expects raw-pixel
+    # (B, H, W, 4) input — rgb + a constant ones channel. The inference
+    # wrappers read this flag to select the preprocess mode.
+    fold_mean: bool = False
 
     @nn.compact
     def __call__(
@@ -77,8 +98,9 @@ class TDRN(nn.Module):
         sources[0] = L2Norm(10.0, dtype=self.dtype, name="l2norm0")(sources[0])
         sources[1] = L2Norm(8.0, dtype=self.dtype, name="l2norm1")(sources[1])
 
+        head_dtype = self.head_dtype if self.head_dtype is not None else self.dtype
         arm_loc, arm_conf = MultiBoxHead(
-            2, cfg.anchors_per_cell, dtype=self.dtype, name="arm"
+            2, cfg.anchors_per_cell, dtype=head_dtype, name="arm"
         )(sources)
 
         feats = TopDownPyramid(
@@ -92,13 +114,37 @@ class TDRN(nn.Module):
 
         new_state: Optional[State] = None
         if self.temporal:
-            feats, new_state = TemporalPropagation(
+            tp = TemporalPropagation(
                 len(feats), self.tcb_channels, cell=self.temporal_cell,
                 dtype=self.dtype, name="temporal",
-            )(feats, state)
+            )
+            if self.chunk > 1:
+                # Frame-major micro-batch: split (chunk*B) back into per-frame
+                # feature lists, step the recurrent cell chunk times (python
+                # unroll — chunk is small and static), re-stack frame-major.
+                f = self.chunk
+                bb = feats[0].shape[0] // f
+                per_frame = [
+                    [ft.reshape(f, bb, *ft.shape[1:])[i] for ft in feats]
+                    for i in range(f)
+                ]
+                st = state
+                outs = []
+                for i in range(f):
+                    out_i, st = tp(per_frame[i], st)
+                    outs.append(out_i)
+                feats = [
+                    jnp.stack([outs[i][k] for i in range(f)]).reshape(
+                        f * bb, *outs[0][k].shape[1:]
+                    )
+                    for k in range(len(feats))
+                ]
+                new_state = st
+            else:
+                feats, new_state = tp(feats, state)
 
         odm_loc, odm_conf = MultiBoxHead(
-            cfg.num_classes, cfg.anchors_per_cell, dtype=self.dtype, name="odm"
+            cfg.num_classes, cfg.anchors_per_cell, dtype=head_dtype, name="odm"
         )(feats)
 
         preds = RawPredictions(
@@ -126,6 +172,7 @@ def build_detector(
     stem: str = "conv",
     temporal_cell: str = "convgru",
     backbone_norm: str = "frozen",
+    head_dtype=None,
 ) -> TDRN:
     """Equivalent of the reference's ``build_net`` (SURVEY.md L4)."""
     return TDRN(
@@ -139,4 +186,5 @@ def build_detector(
         temporal_cell=temporal_cell,
         backbone_norm=backbone_norm,
         dtype=dtype,
+        head_dtype=head_dtype,
     )

@@ -40,18 +40,28 @@ class L2Norm(nn.Module):
 _KERNEL_INIT = nn.initializers.xavier_uniform()
 
 
-def conv3x3(features: int, *, stride: int = 1, dilation: int = 1, dtype=jnp.float32, name=None):
+def conv3x3(
+    features: int, *, stride: int = 1, dilation: int = 1, dtype=jnp.float32,
+    kernel_init=_KERNEL_INIT, bias_init=nn.initializers.zeros, name=None,
+):
     return nn.Conv(
         features,
         (3, 3),
         strides=(stride, stride),
         padding=((dilation, dilation), (dilation, dilation)),
         kernel_dilation=(dilation, dilation),
-        kernel_init=_KERNEL_INIT,
+        kernel_init=kernel_init,
+        bias_init=bias_init,
         dtype=dtype,
         name=name,
     )
 
 
-def conv1x1(features: int, *, dtype=jnp.float32, name=None):
-    return nn.Conv(features, (1, 1), kernel_init=_KERNEL_INIT, dtype=dtype, name=name)
+def conv1x1(
+    features: int, *, dtype=jnp.float32, kernel_init=_KERNEL_INIT,
+    bias_init=nn.initializers.zeros, name=None,
+):
+    return nn.Conv(
+        features, (1, 1), kernel_init=kernel_init, bias_init=bias_init,
+        dtype=dtype, name=name,
+    )

@@ -28,19 +28,90 @@ Dtype = Any
 State = List[jnp.ndarray]
 
 
+# --- Pass-through ("identity") initialization -------------------------------
+#
+# A xavier-initialized gated cell starts as a feature DESTROYER: z ~
+# sigmoid(0) = 0.5, cand ~ tanh(random mix), so h' is half stale state, half
+# noise — round 2 measured cold-start clip training collapsing to temporal
+# mAP 0.28 vs the 0.59 frame model (NOTES.md; VERDICT round-2 weak #3),
+# rescued only by staged frame-then-clip training. These initializers start
+# each cell NEAR THE IDENTITY on its input instead: the update gate biases
+# open (sigmoid(+2) ~ 0.88 "use candidate") and the candidate conv starts as
+# the center-tap identity on the x half of its input (plus 0.1-scaled xavier
+# noise to break symmetry), so frame 0 of an untrained clip model computes
+# h' ~ tanh(x) — a monotone squash of the TCB features the ODM heads can
+# learn against immediately. Temporal behavior (closing z, mixing h) is then
+# *learned* where it pays, rather than un-learned where it hurts.
+
+_PASSTHROUGH_Z_BIAS = 2.0
+
+
+def _gru_gate_bias(channels: int):
+    """(z, r) gate bias: z opens toward the candidate, r neutral."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == (2 * channels,), shape
+        return jnp.concatenate(
+            [
+                jnp.full((channels,), _PASSTHROUGH_Z_BIAS, dtype),
+                jnp.zeros((channels,), dtype),
+            ]
+        )
+
+    return init
+
+
+def _identity_on_x_init(channels: int, center: Tuple[int, int], noise: float = 0.1):
+    """Kernel init = noise*xavier + identity center tap on the first
+    ``channels`` input channels (the x half of a [x, h]-concat input)."""
+    xavier = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype=jnp.float32):
+        k = xavier(key, shape, dtype) * noise
+        eye = jnp.eye(channels, shape[-1], dtype=dtype)
+        return k.at[center[0], center[1], :channels, :].add(eye)
+
+    return init
+
+
+def _identity_depthwise_init(noise: float = 0.1):
+    """Depthwise kernel init = noise*xavier + center-tap 1 per channel."""
+    xavier = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype=jnp.float32):
+        k = xavier(key, shape, dtype) * noise
+        return k.at[shape[0] // 2, shape[1] // 2, 0, :].add(1.0)
+
+    return init
+
+
 class ConvGRUCell(nn.Module):
     """Single-scale convolutional GRU over NHWC features."""
 
     channels: int = 256
     dtype: Dtype = jnp.float32
+    # Pass-through init (see module comment); False = plain xavier/zeros.
+    passthrough_init: bool = True
 
     @nn.compact
     def __call__(self, x, h):
+        c = self.channels
+        gate_bias = (
+            _gru_gate_bias(c) if self.passthrough_init else nn.initializers.zeros
+        )
+        cand_kernel = (
+            _identity_on_x_init(c, (1, 1))
+            if self.passthrough_init
+            else nn.initializers.xavier_uniform()
+        )
         xh = jnp.concatenate([x, h], axis=-1)
-        gates = conv3x3(2 * self.channels, dtype=self.dtype, name="gates")(xh)
+        gates = conv3x3(
+            2 * c, dtype=self.dtype, bias_init=gate_bias, name="gates"
+        )(xh)
         z, r = jnp.split(nn.sigmoid(gates), 2, axis=-1)
         cand = nn.tanh(
-            conv3x3(self.channels, dtype=self.dtype, name="cand")(
+            conv3x3(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(
                 jnp.concatenate([x, r * h], axis=-1)
             )
         )
@@ -58,19 +129,35 @@ class LightGRUCell(nn.Module):
 
     channels: int = 256
     dtype: Dtype = jnp.float32
+    passthrough_init: bool = True  # see module comment above
 
     @nn.compact
     def __call__(self, x, h):
         from tdrn_tpu.models.layers import _KERNEL_INIT, conv1x1
 
+        c = self.channels
+        if self.passthrough_init:
+            gate_bias = lambda key, shape, dtype=jnp.float32: jnp.full(
+                shape, _PASSTHROUGH_Z_BIAS, dtype
+            )
+            dw_kernel = _identity_depthwise_init()
+            cand_kernel = _identity_on_x_init(c, (0, 0))
+        else:
+            gate_bias = nn.initializers.zeros
+            dw_kernel = _KERNEL_INIT
+            cand_kernel = _KERNEL_INIT
         xh = jnp.concatenate([x, h], axis=-1)
-        z = nn.sigmoid(conv1x1(self.channels, dtype=self.dtype, name="gate")(xh))
+        z = nn.sigmoid(
+            conv1x1(c, dtype=self.dtype, bias_init=gate_bias, name="gate")(xh)
+        )
         dw = nn.Conv(
-            2 * self.channels, (3, 3),
-            feature_group_count=2 * self.channels,
-            kernel_init=_KERNEL_INIT, dtype=self.dtype, name="dw",
+            2 * c, (3, 3),
+            feature_group_count=2 * c,
+            kernel_init=dw_kernel, dtype=self.dtype, name="dw",
         )(xh)
-        cand = nn.tanh(conv1x1(self.channels, dtype=self.dtype, name="cand")(dw))
+        cand = nn.tanh(
+            conv1x1(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(dw)
+        )
         return (1.0 - z) * h + z * cand
 
 

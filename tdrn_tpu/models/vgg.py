@@ -81,7 +81,8 @@ class VGG16Reduced(nn.Module):
 
             from tdrn_tpu.ops.stem_pallas import fused_conv_stage, fused_stem_stage1
 
-            interp = jax.default_backend() == "cpu"
+            # Interpret mode on any non-TPU backend (Mosaic is TPU-only).
+            interp = jax.default_backend() != "tpu"
             n1 = w(64)
             k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
             k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()

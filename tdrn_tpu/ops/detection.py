@@ -70,8 +70,10 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
     if cfg.fused_cascade:
         from tdrn_tpu.ops.cascade_pallas import fused_refine_cascade
 
+        # Mosaic kernels compile only for TPU; every other backend (cpu test
+        # mesh, hypothetical gpu) runs interpret mode (ADVICE round 2).
         boxes, scores_cm = fused_refine_cascade(
-            preds, priors, cfg, interpret=jax.default_backend() == "cpu"
+            preds, priors, cfg, interpret=jax.default_backend() != "tpu"
         )
         if cfg.prefilter_anchors and cfg.prefilter_anchors < boxes.shape[1]:
             # Class-major variant: max over class rows (bg row pre-zeroed by
@@ -95,10 +97,32 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
     return jax.vmap(fn)(boxes, scores)
 
 
+def prefilter_overflow(
+    preds: RawPredictions, priors: Array, cfg: DetectorConfig
+) -> Array:
+    """(B,) bool dense-field safety flag: True where >= cfg.prefilter_anchors
+    anchors clear conf_thresh — the prefilter's exactness-under-sparsity
+    precondition failed for that frame (VERDICT round-2 item 6). Reuses the
+    decode/softmax subgraph of the main path (folded by XLA CSE inside the
+    same jitted program), so the check costs one compare + reduce."""
+    _, scores = decode_two_stage(preds, priors, cfg)
+    per_anchor = jnp.max(scores[..., 1:], axis=-1)  # (B, P)
+    return jnp.sum(per_anchor > cfg.conf_thresh, axis=-1) >= cfg.prefilter_anchors
+
+
 def detect_topk(
     preds: RawPredictions, priors: Array, cfg: DetectorConfig, top_k: Optional[int] = None
 ) -> N.TopDetections:
-    """Public per-frame detect API: overall top-k (boxes, scores, classes) per image."""
+    """Public per-frame detect API: overall top-k (boxes, scores, classes) per image.
+
+    When the prefilter fast path is active (cfg.prefilter_anchors > 0) the
+    result additionally carries ``prefilter_overflow`` — the per-frame
+    exactness flag (see :func:`prefilter_overflow`)."""
     k = top_k or cfg.top_k
     det = detect(preds, priors, cfg)  # (B, C, K, 5)
-    return jax.vmap(lambda d: N.flatten_detections(d, k, cfg.approx_topk))(det)
+    out = jax.vmap(lambda d: N.flatten_detections(d, k, cfg.approx_topk))(det)
+    if cfg.prefilter_anchors and cfg.prefilter_anchors < preds.arm_loc.shape[1]:
+        out = out._replace(
+            prefilter_overflow=prefilter_overflow(preds, priors, cfg)
+        )
+    return out

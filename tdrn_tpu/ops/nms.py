@@ -161,6 +161,12 @@ class TopDetections(NamedTuple):
     boxes: Array  # (K, 4)
     scores: Array  # (K,)
     classes: Array  # (K,) int32; 0 where padded
+    # (B,) bool, only set on batched results when cfg.prefilter_anchors > 0:
+    # True where >= prefilter_anchors anchors cleared conf_thresh this frame,
+    # i.e. the prefilter's exactness-under-sparsity precondition FAILED and
+    # this frame's detections may deviate from the exact path (dense-field
+    # safety flag, VERDICT round-2 item 6). None on exact paths.
+    prefilter_overflow: Array = None
 
 
 def flatten_detections(

@@ -45,7 +45,7 @@ def _stem_kernel(main_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     cdt = main_ref.dtype
 
     # o1 rows [rows*s, rows*s + rows + 2): strip block + 2-row halo view.
-    p = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)  # (34, W+2, 27)
+    p = jnp.concatenate([main_ref[0], halo_ref[0]], axis=0)  # (rows+2, W+2, 27)
     a = p.reshape((rows + 2) * wp2, p.shape[-1])
     o1 = jnp.dot(a, w1_ref[:], preferred_element_type=jnp.float32)
     o1 = jnp.maximum(o1 + b1_ref[:], 0.0)
@@ -193,7 +193,8 @@ def fused_stem_stage1(
     """maxpool2(relu(conv3x3_SAME(relu(conv3x3_SAME(x, k1) + b1), k2) + b2)).
 
     x: (B, H, W, 3); k1: (3, 3, 3, N); k2: (3, 3, N, N). Returns
-    (B, H//2, W//2, N). H must be a multiple of 32, W of 2.
+    (B, H//2, W//2, N). H must be a multiple of ``rows`` (an even grid-strip
+    height, default 16), W a multiple of 2.
     """
     b, h, w, c = x.shape
     n = k1.shape[-1]

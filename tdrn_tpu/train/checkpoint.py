@@ -84,8 +84,37 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        raw = self._mgr.restore(step)
+        raw = self._restore_numpy(step)
         return graft_params(raw["params"], template_params)
+
+    def _restore_numpy(self, step: int) -> dict:
+        """Restore a checkpoint tolerating a DIFFERENT topology than it was
+        saved under. A template-less ``restore()`` replays the shardings
+        recorded at save time, which name concrete devices — so a checkpoint
+        written by a CPU-backend trainer fails to restore in a TPU serving
+        process with "Device TFRT_CPU_0 was not found" (caught by the round-3
+        verify drive: live.py on the axon chip with a CPU-written ckpt). The
+        fallback re-restores into a HOST NUMPY template, which sidesteps
+        device placement entirely; jit device-puts the params on first use.
+
+        Note the fallback ordering is load-bearing: ``item_metadata`` returns
+        None until the manager's lazy per-item handler registration has run,
+        which the (failed) plain restore attempt triggers."""
+        try:
+            return self._mgr.restore(step)
+        except ValueError:
+            pass  # saved shardings name devices absent on this backend
+        meta = self._mgr.item_metadata(step)
+        if meta is None:
+            raise RuntimeError(
+                f"cannot read checkpoint structure for step {step} in "
+                f"{self.directory} (item_metadata unavailable)"
+            )
+        tmpl = jax.tree.map(
+            lambda m: np.zeros(m.shape, m.dtype) if hasattr(m, "shape") else m,
+            meta,
+        )
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(tmpl))
 
     def wait(self):
         self._mgr.wait_until_finished()

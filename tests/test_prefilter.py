@@ -62,6 +62,35 @@ def test_prefilter_exact_when_sparse_fused_cascade():
     )
 
 
+def test_prefilter_overflow_flag():
+    """Dense-field safety (VERDICT round-2 item 6): detect_topk flags frames
+    where >= M anchors clear conf_thresh (exactness precondition failed),
+    stays False on sparse frames, and is absent on the exact path."""
+    from tdrn_tpu.ops.detection import detect_topk
+
+    priors = prior_boxes(TINY_64)
+    p = priors.shape[0]
+    m = 128
+    cfg = dataclasses.replace(TINY_64, prefilter_anchors=m)
+
+    sparse = _sparse_preds(np.random.default_rng(3), 1, p, TINY_64.num_classes)
+    out = detect_topk(sparse, priors, cfg)
+    assert out.prefilter_overflow is not None
+    assert not bool(np.asarray(out.prefilter_overflow)[0])
+
+    # Dense: EVERY anchor confidently some foreground class.
+    odm_conf = np.zeros((1, p, TINY_64.num_classes), "f4")
+    odm_conf[..., 1] = 8.0
+    dense = RawPredictions(
+        sparse.arm_loc, sparse.arm_conf, sparse.odm_loc, jnp.asarray(odm_conf)
+    )
+    out_d = detect_topk(dense, priors, cfg)
+    assert bool(np.asarray(out_d.prefilter_overflow)[0])
+
+    exact = detect_topk(sparse, priors, TINY_64)
+    assert exact.prefilter_overflow is None
+
+
 def test_prefilter_dense_well_formed():
     priors = prior_boxes(TINY_64)
     p = priors.shape[0]

@@ -64,6 +64,47 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_clip_mode_sharded_real_geometry():
+    """Full sharded clip-mode train step at REAL vid_320 geometry (320 input,
+    6375 priors, T=2, B=8 across the 8-device mesh; width_mult 0.25 keeps the
+    CPU compile tractable). The TINY_64 dryrun proves the program structure;
+    this proves the sharding at real spatial shapes and prior counts
+    (VERDICT round-2 item 7)."""
+    from tdrn_tpu.config import VID_320
+    from tdrn_tpu.models import build_detector
+
+    mesh = make_mesh()
+    model = build_detector(
+        VID_320, temporal=True, tcb_channels=64, width_mult=0.25
+    )
+    opt = make_optimizer(base_lr=1e-3, warmup_steps=1)
+    t, b, g = 2, 8, 8
+    ts = replicate_tree(
+        init_train_state(model, jax.random.PRNGKey(0), opt, batch=b), mesh
+    )
+    rng = np.random.RandomState(3)
+    frames = jnp.asarray(rng.randn(t, b, 320, 320, 3).astype(np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.asarray([[0.2, 0.2, 0.6, 0.6]], np.float32), (t, b, g, 1))
+    )
+    labels = jnp.ones((t, b, g), jnp.int32)
+    valid = jnp.asarray(
+        np.tile(np.asarray([True] + [False] * (g - 1)), (t, b, 1))
+    )
+    frames = shard_batch_tree(frames, mesh, leading_time_axis=True)
+    targets = shard_batch_tree(
+        Targets(boxes, labels, valid), mesh, leading_time_axis=True
+    )
+    step = make_train_step(model, opt, clip_mode=True)
+    ts, metrics = step(ts, frames, targets)
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree.leaves(ts.params)[0].sharding.is_fully_replicated
+
+
 def test_clip_mode_sharded():
     mesh = make_mesh()
     model = tiny_detector(temporal=True)

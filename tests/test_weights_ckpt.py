@@ -99,6 +99,36 @@ class TestCheckpoint:
         mgr = CheckpointManager(str(tmp_path / "empty"))
         assert mgr.restore_latest(ts) is None
 
+    def test_restore_params_cross_platform_fallback(self, tmp_path):
+        """restore_params must survive a checkpoint whose SAVED shardings
+        name devices absent on this backend (save on CPU trainer, restore in
+        a TPU serving process — "Device TFRT_CPU_0 was not found", caught by
+        the round-3 verify drive). Simulated by making the template-less
+        restore raise; the numpy-template fallback must still produce the
+        saved values."""
+        model = tiny_detector(temporal=False)
+        opt = make_optimizer(warmup_steps=1)
+        ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=1)
+        ts = ts._replace(step=jnp.asarray(5, jnp.int32))
+        mgr = CheckpointManager(str(tmp_path / "xp"), save_every=5)
+        assert mgr.maybe_save(ts)
+        mgr.wait()
+
+        orig = mgr._mgr.restore
+
+        def cross_platform_restore(step, args=None, **kw):
+            if args is None:
+                raise ValueError("Device TFRT_CPU_0 was not found in jax.local_devices().")
+            return orig(step, args=args, **kw)
+
+        mgr._mgr.restore = cross_platform_restore
+        out = mgr.restore_params(ts.params)
+        assert out is not None
+        params, missing, extra = out
+        assert not missing and not extra
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_meta_roundtrip(self, tmp_path):
         mgr = CheckpointManager(str(tmp_path / "m"))
         assert mgr.load_meta() is None

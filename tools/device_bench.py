@@ -36,6 +36,18 @@ def main():
                     help="Pallas ARM->ODM cascade (ops/cascade_pallas.py)")
     ap.add_argument("--prefilter", type=int, default=0,
                     help="image-wide anchor cap before per-class NMS (0=off)")
+    ap.add_argument("--bf16_weights", action="store_true",
+                    help="resident-bf16 inference profile: cast feature-"
+                         "pyramid weights to bf16 once (fp32 heads/detect; "
+                         "utils/precision.py) — distinct from --dtype "
+                         "bfloat16, which re-casts fp32 weights every step")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="pipelined streaming: frames per stream per step "
+                         "(TDRN.chunk micro-batching; latency +chunk-1 "
+                         "frames, throughput -> batched roofline)")
+    ap.add_argument("--fold_mean", action="store_true",
+                    help="fold the preprocess mean-subtract into conv1_1 "
+                         "(raw rgb+ones input; utils/precision.py)")
     args = ap.parse_args()
 
     import jax
@@ -60,24 +72,37 @@ def main():
         cfg, backbone=args.backbone, temporal=not args.no_temporal, dtype=dtype,
         stem=args.stem, temporal_cell=args.cell,
     )
+    if args.chunk > 1:
+        model = model.clone(chunk=args.chunk)
     b = args.batch
-    x0 = jnp.zeros((b, cfg.size, cfg.size, 3), dtype)
+    ch = args.chunk
+    x0 = jnp.zeros((ch * b, cfg.size, cfg.size, 3), dtype)
     state0 = model.zero_state(b) if not args.no_temporal else None
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, state0)
+    if args.fold_mean:
+        from tdrn_tpu.utils.precision import apply_fold_mean
+
+        model, params = apply_fold_mean(model, params)
+    if args.bf16_weights:
+        from tdrn_tpu.utils.precision import apply_inference_precision
+
+        model, params = apply_inference_precision(model, params, "bf16")
+        state0 = model.zero_state(b) if not args.no_temporal else None
     priors = prior_boxes(cfg)
 
     # DISTINCT frame per step: with a loop-invariant frame XLA hoists the whole
     # state-independent backbone/ARM/TCB out of the scan and the number lies.
+    steps = max(args.frames // ch, 1)
     frames = jnp.asarray(
         np.random.RandomState(0).randint(
-            0, 255, (args.frames, b, cfg.size, cfg.size, 3), dtype=np.uint8
+            0, 255, (steps, ch * b, cfg.size, cfg.size, 3), dtype=np.uint8
         )
     )
 
     @jax.jit
     def run_clip(params, state, frames):
         def step(state, frame):
-            x = preprocess_batch(frame, cfg, model.dtype)
+            x = preprocess_batch(frame, cfg, model.dtype, model.fold_mean)
             preds, new_state = model.apply(params, x, state)
             if args.no_detect:
                 out = (preds.odm_loc.sum(), preds.odm_conf.sum())
@@ -92,7 +117,7 @@ def main():
         return jax.tree.map(lambda o: o[-1], outs)
 
     # temporal state chains steps; without it, chain via dummy carry
-    carry0 = state0 if state0 is not None else jnp.zeros((1,), dtype)
+    carry0 = state0 if state0 is not None else jnp.zeros((1,), model.dtype)
     out = run_clip(params, carry0, frames)
     jax.tree.map(np.asarray, out)  # compile + sync
 
@@ -103,12 +128,15 @@ def main():
         jax.tree.map(np.asarray, out)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    per = best / args.frames
+    per = best / (steps * ch)
     print(json.dumps({
         "ms_per_frame": round(per * 1e3, 4),
         "frames_per_sec_per_chip": round(b / per, 1),
         "batch": b,
         "dtype": args.dtype,
+        "bf16_weights": args.bf16_weights,
+        "fold_mean": args.fold_mean,
+        "chunk": ch,
         "stem": args.stem,
         "cell": args.cell,
         "backbone": args.backbone,

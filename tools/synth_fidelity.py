@@ -1,20 +1,32 @@
-"""Synthetic fidelity harness (VERDICT round-1, next-round #9).
+"""Synthetic fidelity harness (VERDICT round-1 #9; hard mode: round-2 #3).
 
 No VOC/VID data exists on this machine, so end-to-end training fidelity is
-tracked on a CLEANLY SEPARABLE synthetic detection task where a correct
-pipeline must reach mAP >= 0.9: solid-color rectangles on textured gray noise,
-color <-> class (4 classes), non-overlapping (pairwise IoU = 0), sizes spanning
-all four anchor scales. Round-1's ad-hoc harness topped out at AP ~0.5 because
-its task was ambiguous (overlapping same-color shapes); this one isolates the
-pipeline: any sustained shortfall from ~1.0 is a training/eval defect, not
-task noise.
+tracked on synthetic detection tasks driving the REAL train.py/eval.py CLIs.
 
-Usage (drives the real train.py / eval.py CLIs end to end):
+Default (easy) profile — pipeline-defect detector: solid-color rectangles on
+gray noise, color <-> class (4 classes), non-overlapping, sizes spanning the
+anchor scales. A correct pipeline reaches mAP ~1.0 (measured 1.000 in round
+2); any sustained shortfall is a training/eval defect. SATURATED: it can no
+longer rank regressions.
+
+--hard profile — the discriminative benchmark (VERDICT round-2 item 3): 10
+classes keyed by (color, texture) pairs that share colors across textures and
+neighboring hues across classes, overlapping and nested boxes (IoU up to
+~0.6), object scales 0.05-0.6 of the image (the smallest sit below the 32-px
+anchor), and unannotated DISTRACTOR shapes in non-class color/texture combos.
+Trained mAP is designed to land mid-range (~0.6-0.9) so a one-point
+regression is visible. Per-class thresholds live in NOTES.md once measured.
+
+--prefilter_check additionally re-runs eval with --prefilter 512 on the SAME
+checkpoint and reports per-class AP deltas — quantifying prefilter exactness
+on a genuinely cluttered score field (VERDICT round-2 weak #5), not the
+trivially sparse saturated model.
+
+Usage:
     python tools/synth_fidelity.py --steps 3000 --out /tmp/synth_fidelity
-    # prints one JSON line: {"mAP": ..., "per_class": {...}, "threshold": 0.9}
-
-Generation only (e.g. to inspect images):
-    python tools/synth_fidelity.py --gen_only --out /tmp/synth_fidelity
+    python tools/synth_fidelity.py --hard --steps 6000 --prefilter_check \
+        --out /tmp/synth_hard
+    # prints one JSON line: {"mAP": ..., "per_class": {...}, ...}
 """
 
 from __future__ import annotations
@@ -37,6 +49,67 @@ CLASSES = {
     "bird": (40, 60, 230),        # blue
     "boat": (235, 220, 50),       # yellow
 }
+
+# Hard profile: class = (color, texture). Colors repeat across textures and
+# sit near each other in hue, so neither cue alone separates the classes —
+# the model must conjoin them. Distractors use combos outside this table.
+HARD_CLASSES = {
+    "aeroplane": ((220, 40, 40), "solid"),     # red
+    "bicycle":   ((220, 40, 40), "stripes"),   # red     (color tie w/ above)
+    "bird":      ((150, 30, 30), "solid"),     # dark red (hue neighbor)
+    "boat":      ((40, 190, 40), "solid"),     # green
+    "bottle":    ((40, 190, 40), "dots"),      # green   (color tie)
+    "bus":       ((40, 160, 140), "solid"),    # teal    (hue neighbor)
+    "car":       ((50, 70, 225), "solid"),     # blue
+    "cat":       ((50, 70, 225), "checker"),   # blue    (color tie)
+    "chair":     ((230, 215, 50), "stripes"),  # yellow
+    "cow":       ((235, 160, 40), "stripes"),  # orange  (hue neighbor, same texture)
+}
+DISTRACTOR_SPECS = (
+    ((160, 160, 160), "stripes"),  # gray stripes
+    ((170, 60, 200), "solid"),     # purple
+    ((150, 30, 30), "dots"),       # dark-red dots (class color, non-class combo)
+    ((230, 215, 50), "checker"),   # yellow checker
+)
+
+
+def _draw_textured(img, box, color, texture, rng):
+    """Paint a textured rectangle in-place (RGB image)."""
+    x1, y1, x2, y2 = box
+    h, w = y2 - y1, x2 - x1
+    base = np.asarray(color, np.float32)
+    dark = base * 0.45
+    patch = np.broadcast_to(base, (h, w, 3)).copy()
+    if texture == "stripes":
+        rows = (np.arange(h)[:, None] // 4) % 2 == 1
+        patch[np.broadcast_to(rows[..., None], (h, w, 1))[..., 0]] = dark
+    elif texture == "dots":
+        patch[:] = dark
+        yy, xx = np.mgrid[0:h, 0:w]
+        dots = ((yy % 8) < 3) & ((xx % 8) < 3)
+        patch[dots] = base
+    elif texture == "checker":
+        yy, xx = np.mgrid[0:h, 0:w]
+        check = ((yy // 6) + (xx // 6)) % 2 == 1
+        patch[check] = dark
+    patch = patch + rng.normal(0, 8, (h, w, 3))
+    img[y1:y2, x1:x2] = patch.clip(0, 255).astype(np.uint8)
+
+
+def _sample_boxes_hard(rng, w, h, n):
+    """n boxes, overlap/nesting ALLOWED, scales 0.05-0.6 of the image."""
+    boxes = []
+    for _ in range(10 * n):
+        if len(boxes) >= n:
+            break
+        s = float(rng.uniform(0.05, 0.6))
+        ar = rng.uniform(0.5, 2.0)
+        bw = int(np.clip(s * np.sqrt(ar) * w, 8, w - 2))
+        bh = int(np.clip(s / np.sqrt(ar) * h, 8, h - 2))
+        x1 = int(rng.uniform(0, w - bw))
+        y1 = int(rng.uniform(0, h - bh))
+        boxes.append((x1, y1, x1 + bw, y1 + bh))
+    return boxes
 
 
 def _xml(img_id, w, h, objects):
@@ -82,14 +155,15 @@ def _sample_boxes(rng, w, h, n):
 
 
 def generate(root: str, n_train: int = 240, n_test: int = 24, size: int = 400,
-             seed: int = 0):
+             seed: int = 0, hard: bool = False):
     import cv2
 
     base = os.path.join(root, "VOC2007")
     for d in ("JPEGImages", "Annotations", os.path.join("ImageSets", "Main")):
         os.makedirs(os.path.join(base, d), exist_ok=True)
     rng = np.random.default_rng(seed)
-    names = list(CLASSES)
+    table = HARD_CLASSES if hard else CLASSES
+    names = list(table)
     splits = {"trainval": [], "test": []}
     for i in range(n_train + n_test):
         img_id = f"{i:06d}"
@@ -98,14 +172,37 @@ def generate(root: str, n_train: int = 240, n_test: int = 24, size: int = 400,
         w = h = size
         img = rng.normal(128, 18, (h, w, 3)).clip(0, 255).astype(np.uint8)
         objects = []
-        for box in _sample_boxes(rng, w, h, int(rng.integers(1, 4))):
-            name = names[int(rng.integers(len(names)))]
-            r, g, b = CLASSES[name]
-            x1, y1, x2, y2 = box
-            img[y1:y2, x1:x2] = (
-                np.array([r, g, b]) + rng.normal(0, 8, (y2 - y1, x2 - x1, 3))
-            ).clip(0, 255).astype(np.uint8)
-            objects.append((name, box))
+        if hard:
+            boxes = _sample_boxes_hard(rng, w, h, int(rng.integers(2, 6)))
+            drawn = [
+                (box, names[int(rng.integers(len(names)))], False)
+                for box in boxes
+            ]
+            # Unannotated distractors in non-class color/texture combos.
+            for box in _sample_boxes_hard(rng, w, h, int(rng.integers(0, 3))):
+                drawn.append((box, int(rng.integers(len(DISTRACTOR_SPECS))), True))
+            # Largest first so nested/overlapped smaller shapes stay visible
+            # (their GT remains honest: the visible evidence is on top).
+            drawn.sort(
+                key=lambda d: -(d[0][2] - d[0][0]) * (d[0][3] - d[0][1])
+            )
+            for box, which, is_distractor in drawn:
+                if is_distractor:
+                    color, texture = DISTRACTOR_SPECS[which]
+                else:
+                    color, texture = table[which]
+                _draw_textured(img, box, color, texture, rng)
+                if not is_distractor:
+                    objects.append((which, box))
+        else:
+            for box in _sample_boxes(rng, w, h, int(rng.integers(1, 4))):
+                name = names[int(rng.integers(len(names)))]
+                r, g, b = table[name]
+                x1, y1, x2, y2 = box
+                img[y1:y2, x1:x2] = (
+                    np.array([r, g, b]) + rng.normal(0, 8, (y2 - y1, x2 - x1, 3))
+                ).clip(0, 255).astype(np.uint8)
+                objects.append((name, box))
         cv2.imwrite(
             os.path.join(base, "JPEGImages", f"{img_id}.jpg"),
             cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
@@ -116,7 +213,8 @@ def generate(root: str, n_train: int = 240, n_test: int = 24, size: int = 400,
     for split, ids in splits.items():
         with open(os.path.join(base, "ImageSets", "Main", f"{split}.txt"), "w") as f:
             f.write("\n".join(ids) + "\n")
-    print(f"generated {n_train} train / {n_test} test images under {base}")
+    print(f"generated {n_train} train / {n_test} test images under {base}"
+          f" (profile: {'hard' if hard else 'easy'})")
 
 
 def main():
@@ -128,15 +226,32 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gen_only", action="store_true")
     ap.add_argument("--skip_gen", action="store_true")
-    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="pass bar on mAP (default 0.9 easy / 0.45 hard)")
+    ap.add_argument("--hard", action="store_true",
+                    help="discriminative profile: 10 confusable "
+                         "(color,texture) classes, overlap/nesting, scales "
+                         "0.05-0.6, unannotated distractors")
+    ap.add_argument("--n_train", type=int, default=None,
+                    help="train images (default 240 easy / 360 hard)")
+    ap.add_argument("--prefilter_check", action="store_true",
+                    help="also eval with --prefilter 512 and report per-"
+                         "class AP deltas vs the exact path")
     ap.add_argument("--extra_train_args", default="",
                     help="extra train.py flags, e.g. '--stem s2d'")
     args = ap.parse_args()
+    classes = HARD_CLASSES if args.hard else CLASSES
+    threshold = args.threshold if args.threshold is not None else (
+        0.45 if args.hard else 0.9
+    )
 
     data_root = os.path.join(args.out, "data")
     weights = os.path.join(args.out, "weights")
     if not args.skip_gen:
-        generate(data_root, seed=args.seed)
+        n_train = args.n_train or (360 if args.hard else 240)
+        n_test = 36 if args.hard else 24
+        generate(data_root, n_train=n_train, n_test=n_test, seed=args.seed,
+                 hard=args.hard)
     if args.gen_only:
         return
 
@@ -155,31 +270,52 @@ def main():
     ] + (args.extra_train_args.split() if args.extra_train_args else [])
     subprocess.run(train_cmd, check=True, cwd=REPO, env=env)
 
-    eval_cmd = [
-        sys.executable, os.path.join(REPO, "eval.py"),
-        "--dataset", "voc_320", "--data_root", data_root,
-        "--checkpoint", weights, "--split", "2007:test", "--batch_size", "8",
-    ]
-    out = subprocess.run(
-        eval_cmd, check=True, cwd=REPO, env=env, capture_output=True, text=True
-    )
-    sys.stderr.write(out.stdout[-4000:])
-    # eval.py prints "AP <class>: <v>" per class; its own mAP averages all 20
-    # VOC names (16 absent here -> AP 0), so the harness mAP is the mean over
-    # the 4 classes that exist in the task.
-    aps = {}
-    for line in out.stdout.splitlines():
-        toks = line.replace(":", " ").split()
-        if len(toks) >= 3 and toks[0] == "AP" and toks[1] in CLASSES:
-            aps[toks[1]] = float(toks[2])
-    map4 = float(np.mean([aps[c] for c in CLASSES])) if len(aps) == len(CLASSES) else None
+    def run_eval(extra=()):
+        eval_cmd = [
+            sys.executable, os.path.join(REPO, "eval.py"),
+            "--dataset", "voc_320", "--data_root", data_root,
+            "--checkpoint", weights, "--split", "2007:test",
+            "--batch_size", "8", *extra,
+        ]
+        out = subprocess.run(
+            eval_cmd, check=True, cwd=REPO, env=env, capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(out.stdout[-4000:])
+        # eval.py prints "AP <class>: <v>" per class; its own mAP averages all
+        # 20 VOC names (absent ones -> AP 0), so the harness mAP is the mean
+        # over the classes that exist in the task.
+        aps = {}
+        for line in out.stdout.splitlines():
+            toks = line.replace(":", " ").split()
+            if len(toks) >= 3 and toks[0] == "AP" and toks[1] in classes:
+                aps[toks[1]] = float(toks[2])
+        m = (
+            float(np.mean([aps[c] for c in classes]))
+            if len(aps) == len(classes)
+            else None
+        )
+        return m, aps
+
+    map_exact, aps = run_eval()
     result = {
-        "mAP": map4,
+        "profile": "hard" if args.hard else "easy",
+        "mAP": map_exact,
         "per_class": aps,
-        "threshold": args.threshold,
+        "threshold": threshold,
         "steps": args.steps,
-        "pass": map4 is not None and map4 >= args.threshold,
+        "pass": map_exact is not None and map_exact >= threshold,
     }
+    if args.prefilter_check:
+        map_pf, aps_pf = run_eval(("--prefilter", "512"))
+        result["prefilter_mAP"] = map_pf
+        result["prefilter_delta"] = (
+            None if map_pf is None or map_exact is None
+            else round(map_pf - map_exact, 6)
+        )
+        result["prefilter_per_class_delta"] = {
+            c: round(aps_pf[c] - aps[c], 6) for c in aps if c in aps_pf
+        }
     print(json.dumps(result))
 
 

@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--staged", action=argparse.BooleanOptionalAction, default=True,
                     help="reference-style staged training: frame model first, "
                          "clip model fine-tunes from it (--init_from)")
+    ap.add_argument("--precision_check", action="store_true",
+                    help="also eval the temporal model with --precision bf16 "
+                         "(resident-bf16 serving profile) and report the mAP "
+                         "delta vs fp32 — the bf16 fidelity gate")
     args = ap.parse_args()
 
     data_root = os.path.join(args.out, "data")
@@ -216,6 +220,16 @@ def main():
         result["temporal_advantage"] = round(
             result["temporal_mAP"] - result["frame_mAP"], 4
         )
+    result["staged"] = bool(args.staged)
+    if args.precision_check:
+        out_b = _run(ev + ["--checkpoint", w_clip, "--temporal",
+                           "--precision", "bf16"], env)
+        aps_b = _parse_aps(out_b.stdout)
+        result["temporal_mAP_bf16"] = m(aps_b)
+        if result["temporal_mAP_bf16"] is not None and result["temporal_mAP"] is not None:
+            result["bf16_delta"] = round(
+                result["temporal_mAP_bf16"] - result["temporal_mAP"], 4
+            )
     print(json.dumps(result))
 
 

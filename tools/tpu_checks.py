@@ -1,0 +1,71 @@
+"""On-device invariant checks for backend-sensitive kernels.
+
+Run on the REAL backend (TPU via the axon tunnel, or whatever jax selects):
+
+    python tools/tpu_checks.py
+
+Currently asserts (ADVICE round 2): ``ops.nms._top_k(approx=True)`` — i.e.
+``lax.approx_max_k(recall_target=1.0)`` — returns exactly ``lax.top_k``'s
+values AND index order on this backend's lowering, including under heavy
+score ties (the zeroed/thresholded fields the detect path produces). Every
+detect path defaults to approx_topk=True (config.py), so its exactness is a
+correctness assumption of the exact-parity eval, not just a perf detail; if a
+future approx_max_k lowering breaks tie-break order this script is the
+canary. Exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def check_topk_equivalence(trials: int = 20) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.ops.nms import _top_k
+
+    failures = 0
+    rng = np.random.RandomState(0)
+    shapes = [(6375,), (16320,), (31, 512), (21, 6375)]
+    for t in range(trials):
+        shape = shapes[t % len(shapes)]
+        k = [200, 512, 200, 200][t % len(shapes)]
+        scores = rng.rand(*shape).astype(np.float32)
+        # Heavy ties: the detect path zeroes sub-threshold / background /
+        # ARM-filtered scores, so most entries tie at exactly 0; some trials
+        # also quantize to force ties among the kept values.
+        scores[scores < 0.6] = 0.0
+        if t % 2:
+            scores = np.round(scores * 16) / 16
+        s = jnp.asarray(scores)
+        v_ref, i_ref = jax.jit(lambda x: jax.lax.top_k(x, k))(s)
+        v_apx, i_apx = jax.jit(lambda x: _top_k(x, k, approx=True))(s)
+        ok_v = np.array_equal(np.asarray(v_ref), np.asarray(v_apx))
+        ok_i = np.array_equal(np.asarray(i_ref), np.asarray(i_apx))
+        if not (ok_v and ok_i):
+            failures += 1
+            print(
+                f"FAIL trial {t} shape={shape} k={k}: values_equal={ok_v} "
+                f"indices_equal={ok_i}"
+            )
+    return failures
+
+
+def main():
+    import jax
+
+    print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
+    failures = check_topk_equivalence()
+    if failures:
+        print(f"{failures} top-k equivalence failures — approx_topk is NOT "
+              "exact on this backend; set approx_topk=False in config.py")
+        sys.exit(1)
+    print("OK: approx_max_k(recall_target=1.0) == lax.top_k (values + tie "
+          "order) on this backend")
+
+
+if __name__ == "__main__":
+    main()
