@@ -21,7 +21,10 @@ import sys
 import numpy as np
 
 
-def check_topk_equivalence(trials: int = 20) -> int:
+def check_topk_equivalence(trials: int = 8) -> int:
+    # 8 trials = each of the 4 (shape, k) program variants twice (once with
+    # quantized ties); more trials re-use cached executables but the first
+    # pass is 8 remote compiles, which is what bounds wall-clock here.
     import jax
     import jax.numpy as jnp
 
