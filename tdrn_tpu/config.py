@@ -40,9 +40,13 @@ class DetectorConfig:
     nms_thresh: float = 0.45
     top_k: int = 200
     # Candidate selection via lax.approx_max_k(recall_target=1.0) instead of
-    # the full sort XLA emits for lax.top_k (exact either way; the approx
-    # kernel is the TPU-native path — see ops/nms.py `_top_k`).
-    approx_topk: bool = True
+    # the full sort XLA emits for lax.top_k. Default OFF: tools/tpu_checks.py
+    # measured (round 3, real v5e backend) that approx_max_k returns lax.top_k's
+    # VALUES but a different index order under score ties — and detect's score
+    # fields are tie-heavy (zeroed sub-threshold/filtered anchors), so tie order
+    # is part of the exact-parity contract. Re-enable only behind a fresh
+    # tpu_checks pass on the deployment backend.
+    approx_topk: bool = False
     # ARM->ODM two-stage decode + softmax + negative-anchor filter as one
     # Pallas kernel emitting class-major scores (ops/cascade_pallas.py);
     # False = the plain XLA-fusion path (ops/detection.decode_two_stage).

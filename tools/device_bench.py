@@ -14,7 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -48,6 +52,10 @@ def main():
     ap.add_argument("--fold_mean", action="store_true",
                     help="fold the preprocess mean-subtract into conv1_1 "
                          "(raw rgb+ones input; utils/precision.py)")
+    ap.add_argument("--approx_topk", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="override cfg.approx_topk (A/B the approx_max_k vs "
+                         "lax.top_k candidate selection)")
     args = ap.parse_args()
 
     import jax
@@ -60,12 +68,14 @@ def main():
     from tdrn_tpu.ops.priors import prior_boxes
 
     cfg = get_config(args.config)
-    if args.fused_cascade or args.prefilter:
+    if args.fused_cascade or args.prefilter or args.approx_topk is not None:
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg, fused_cascade=args.fused_cascade,
             prefilter_anchors=args.prefilter,
+            approx_topk=(cfg.approx_topk if args.approx_topk is None
+                         else args.approx_topk),
         )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_detector(
