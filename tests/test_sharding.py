@@ -124,3 +124,58 @@ def test_clip_mode_sharded():
     step = make_train_step(model, opt, clip_mode=True)
     ts, metrics = step(ts, frames, targets)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_streaming_inference_sharded_matches_unsharded():
+    """Multi-chip SERVING path (SURVEY §2 parallelism DP row): 8 stream lanes
+    sharded across the 8-device mesh through the full streaming step
+    (preprocess -> model+state -> detect). Params replicate; frames/state
+    shard on the stream axis; XLA partitions the program with no collectives
+    (every op is per-image). Raw prediction tensors must match the
+    single-device run to float tolerance (bitwise is NOT guaranteed across
+    partitionings - fusion/summation order differ, which can reorder
+    near-tied top-k ranks of an untrained model - so detect output is
+    checked for shape/finiteness, predictions for value parity)."""
+    from tdrn_tpu.ops.detection import detect_topk
+    from tdrn_tpu.ops.preprocess import preprocess_batch
+    from tdrn_tpu.ops.priors import prior_boxes
+
+    model = tiny_detector(temporal=True)
+    cfg = model.cfg
+    b = 8
+    rng = np.random.RandomState(7)
+    frames = jnp.asarray(rng.randint(0, 255, (b, 64, 64, 3), np.uint8))
+    state0 = model.zero_state(b)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((b, 64, 64, 3)), state0
+    )
+
+    @jax.jit
+    def step(params, state, frames_u8):
+        x = preprocess_batch(frames_u8, cfg, model.dtype)
+        preds, new_state = model.apply(params, x, state)
+        return new_state, preds, detect_topk(preds, prior_boxes(cfg), cfg)
+
+    # Two steps so the temporal carry crosses the shard boundary too.
+    st, _, _ = step(params, state0, frames)
+    _, preds_ref, det_ref = step(params, st, frames)
+
+    mesh = make_mesh()
+    params_s = replicate_tree(params, mesh)
+    state_s = shard_batch_tree(model.zero_state(b), mesh)
+    frames_s = jax.device_put(frames, batch_sharding(mesh))
+    st_s, _, _ = step(params_s, state_s, frames_s)
+    _, preds_s, det_s = step(params_s, st_s, frames_s)
+
+    for a, bb in zip(preds_ref, preds_s):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(a, bb, atol=1e-5 * scale, rtol=1e-5)
+    assert det_s.boxes.shape == det_ref.boxes.shape
+    assert np.isfinite(np.asarray(det_s.scores)).all()
+    # Per-image score SETS agree (rank order may differ at float epsilon).
+    np.testing.assert_allclose(
+        np.sort(np.asarray(det_s.scores), axis=-1),
+        np.sort(np.asarray(det_ref.scores), axis=-1),
+        atol=1e-4,
+    )
