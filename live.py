@@ -34,6 +34,10 @@ def parse_args():
     ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
                     help="resnet norm override (identical param trees restore "
                          "silently into the wrong norm)")
+    ap.add_argument("--pad_stem", type=int, default=0,
+                    help="zero-pad the stem input+kernel to N channels (exact; "
+                         "-7.6%% b1 latency at N=4 on v5e, BENCH.md round 3; "
+                         "vgg conv stem only)")
     return ap.parse_args()
 
 
@@ -52,6 +56,10 @@ def main():
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))
+    if args.pad_stem:
+        from tdrn_tpu.utils.precision import apply_pad_stem
+
+        model, params = apply_pad_stem(model, params, args.pad_stem)
     class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
 
     src = int(args.source) if args.source.isdigit() else args.source

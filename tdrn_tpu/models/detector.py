@@ -82,6 +82,13 @@ class TDRN(nn.Module):
     # (B, H, W, 4) input — rgb + a constant ones channel. The inference
     # wrappers read this flag to select the preprocess mode.
     fold_mean: bool = False
+    # Zero-pad the input to this many channels before conv1_1 (0 = off).
+    # Perf experiment (exact — the matching kernel channels are zero, see
+    # utils/precision.apply_pad_stem): a C=3 stem conv triggers XLA's
+    # small-channel spatial rewrite, whose surrounding layout copies were
+    # ~0.2 ms of the round-3 b1 trace; padding to 4/8 channels changes which
+    # rewrite path the compiler picks. Measured via device_bench --pad_stem.
+    pad_stem: int = 0
 
     @nn.compact
     def __call__(
@@ -89,6 +96,8 @@ class TDRN(nn.Module):
     ) -> Tuple[RawPredictions, Optional[State]]:
         """x: (B, size, size, 3) preprocessed frames (NHWC, mean-subtracted)."""
         cfg = self.cfg
+        if self.pad_stem and x.shape[-1] < self.pad_stem:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, self.pad_stem - x.shape[-1])])
         sources = _build_backbone(
             self.backbone, self.dtype, self.width_mult, self.stem,
             self.backbone_norm,

@@ -57,6 +57,9 @@ class InferenceServer:
         self._stop = threading.Event()
         self.steps = 0
         self.frames = 0
+        # Frames where the anchor-prefilter exactness precondition failed
+        # (ops/detection.prefilter_overflow); 0 when the exact path is active.
+        self.overflow_frames = 0
         # Warm up the compiled step BEFORE starting the dispatcher so the
         # first client request doesn't pay (or time out on) the jit compile.
         zeros = np.zeros((self.lanes, self.size, self.size, 3), np.uint8)
@@ -117,6 +120,8 @@ class InferenceServer:
         out = self.det.detect(frames, active=active)
         self.steps += 1
         self.frames += 1
+        if out.prefilter_overflow is not None:
+            self.overflow_frames += int(np.asarray(out.prefilter_overflow)[lane])
         return (
             np.asarray(out.boxes)[lane],
             np.asarray(out.scores)[lane],
@@ -180,6 +185,9 @@ class InferenceServer:
             boxes = np.asarray(out.boxes)
             scores = np.asarray(out.scores)
             classes = np.asarray(out.classes)
+            if out.prefilter_overflow is not None:
+                ovf = np.asarray(out.prefilter_overflow)
+                self.overflow_frames += int(sum(ovf[lane] for lane, _ in batch))
             for lane, req in batch:
                 req.result = (boxes[lane], scores[lane], classes[lane])
                 req.event.set()

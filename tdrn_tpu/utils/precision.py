@@ -142,6 +142,43 @@ def fold_mean_params(variables: Any, cfg, stem: str = "conv"):
     return out
 
 
+def pad_stem_params(variables: Any, pad_to: int):
+    """Zero-pad backbone/conv1_1's input channels to ``pad_to`` (exact: the
+    new kernel channels are zero, and the model feeds zeros there)."""
+    import numpy as np
+
+    frozen = type(variables).__name__ == "FrozenDict"
+    plain = dict(variables) if frozen else dict(variables)
+    params = dict(plain["params"])
+    backbone = dict(params["backbone"])
+    conv = dict(backbone["conv1_1"])
+    k = np.asarray(conv["kernel"])
+    kh, kw, cin, cout = k.shape
+    assert cin < pad_to, (cin, pad_to)
+    kp = np.zeros((kh, kw, pad_to, cout), k.dtype)
+    kp[:, :, :cin, :] = k
+    conv["kernel"] = jnp.asarray(kp)
+    backbone["conv1_1"] = conv
+    params["backbone"] = backbone
+    out = dict(plain)
+    out["params"] = params
+    if frozen:
+        from flax.core import freeze
+
+        out = freeze(out)
+    return out
+
+
+def apply_pad_stem(model, variables, pad_to: int = 8):
+    """Clone the model to zero-pad the stem input to ``pad_to`` channels and
+    pad conv1_1's kernel to match (exact). Perf experiment for XLA's
+    small-channel conv rewrite — conv stem only (s2d interleaves channels
+    spatially, so its padding would need a position-wise kernel map)."""
+    if model.backbone != "vgg16" or model.stem != "conv":
+        raise ValueError("pad_stem supports the vgg16 conv stem only")
+    return model.clone(pad_stem=pad_to), pad_stem_params(variables, pad_to)
+
+
 def apply_fold_mean(model, variables):
     """Clone the model for raw-pixel (rgb+ones) input + fold conv1_1.
 

@@ -154,3 +154,24 @@ def test_bf16_detections_match_fp32_top1(fp32_model_params):
         a16 = np.maximum(0, b16[s, 0, 2:] - b16[s, 0, :2]).prod()
         iou = iou_num / (a32 + a16 - iou_num + 1e-9)
         assert iou > 0.5, (s, iou, b32[s, 0], b16[s, 0])
+
+
+def test_pad_stem_exact(fp32_model_params):
+    """Channel-padded stem (utils/precision.apply_pad_stem): zero-padded
+    input channels + zero-padded conv1_1 kernel reproduce the 3-channel
+    model bitwise (zeros contribute nothing to the conv)."""
+    from tdrn_tpu.utils.precision import apply_pad_stem
+
+    model, params = fp32_model_params
+    mp, pp = apply_pad_stem(model, params, pad_to=8)
+    assert mp.pad_stem == 8
+    k = pp["params"]["backbone"]["conv1_1"]["kernel"]
+    assert k.shape[2] == 8
+    frames = jnp.asarray(
+        np.random.RandomState(6).randint(0, 255, (2, 64, 64, 3), np.uint8)
+    )
+    x = preprocess_batch(frames, TINY_64, model.dtype)
+    preds_ref, _ = model.apply(params, x, model.zero_state(2))
+    preds_pad, _ = mp.apply(pp, x, mp.zero_state(2))
+    for a, b in zip(preds_ref, preds_pad):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--fold_mean", action="store_true",
                     help="fold the preprocess mean-subtract into conv1_1 "
                          "(raw rgb+ones input; utils/precision.py)")
+    ap.add_argument("--pad_stem", type=int, default=0,
+                    help="zero-pad the stem input+kernel to N channels "
+                         "(exact; XLA small-C conv rewrite experiment)")
     ap.add_argument("--approx_topk", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="override cfg.approx_topk (A/B the approx_max_k vs "
@@ -93,6 +96,10 @@ def main():
         from tdrn_tpu.utils.precision import apply_fold_mean
 
         model, params = apply_fold_mean(model, params)
+    if args.pad_stem:
+        from tdrn_tpu.utils.precision import apply_pad_stem
+
+        model, params = apply_pad_stem(model, params, args.pad_stem)
     if args.bf16_weights:
         from tdrn_tpu.utils.precision import apply_inference_precision
 
@@ -146,6 +153,7 @@ def main():
         "dtype": args.dtype,
         "bf16_weights": args.bf16_weights,
         "fold_mean": args.fold_mean,
+        "pad_stem": args.pad_stem,
         "chunk": ch,
         "stem": args.stem,
         "cell": args.cell,
