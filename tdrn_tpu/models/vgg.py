@@ -31,6 +31,77 @@ Dtype = Any
 _STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
 
+# --- W-polyphase stage 1 (stem="poly") --------------------------------------
+#
+# The round-3 b8 trace pins conv1_2 (64 ch) as the hottest op at ~69 TFLOP/s:
+# a 64-channel NHWC bf16 tensor fills only HALF of every (sublane, 128-lane)
+# tile, so every load/store of stage 1 moves half-empty tiles. Decomposing
+# the W axis into its two stride-2 phases fixes the lane occupancy with NO
+# data movement: in NHWC, x[b,h,2j+px,c] viewed as xs[b,h,j,px*C+c] is a pure
+# row-major reshape (W and C are adjacent), so "phase space" entry/exit are
+# free bitcasts. A SAME 3x3 stride-1 conv then becomes, per OUTPUT phase, one
+# (3 rows x 2 cols) conv over the 2C phase channels whose kernel is a fixed
+# rearrangement of the original (zero taps make it exact):
+#
+#   out phase 0 (full-res col 2j):   window xs cols {j-1, j},  pad W (1, 0)
+#   out phase 1 (full-res col 2j+1): window xs cols {j, j+1},  pad W (0, 1)
+#
+# Cost: 12 taps instead of 9 (1.33x FLOPs) for 2x lane occupancy on input
+# reads (conv1_2: contraction 3*2*128=768). pool1 in phase space is a max
+# over the px pair + row pairs. The kernel rearrangement runs in-graph on the
+# (3,3,C,N) parameter (microseconds), so the PARAM TREE IS UNCHANGED — any
+# conv-stem checkpoint serves (or trains: the mapping is differentiable) with
+# stem="poly". Exactness: tests/test_model.py::test_poly_stem_exact.
+
+
+def _wpoly_kernels(k):
+    """(3,3,C,N) SAME stride-1 kernel -> two (3,2,2C,N) W-polyphase kernels."""
+    z = jnp.zeros_like(k[:, 0])  # (3, C, N)
+    k_p0 = jnp.stack(
+        [
+            jnp.concatenate([z, k[:, 0]], axis=1),  # xs col j-1: px0 unused, px1=k0
+            jnp.concatenate([k[:, 1], k[:, 2]], axis=1),  # xs col j: px0=k1, px1=k2
+        ],
+        axis=1,
+    )
+    k_p1 = jnp.stack(
+        [
+            jnp.concatenate([k[:, 0], k[:, 1]], axis=1),  # xs col j
+            jnp.concatenate([k[:, 2], z], axis=1),  # xs col j+1: px1 unused
+        ],
+        axis=1,
+    )
+    return k_p0, k_p1
+
+
+def _wpoly_conv(xp, k, bias):
+    """Phase-space SAME 3x3 conv: xp (B,H,W/2,2C) -> (B,H,W/2,2N)."""
+    import jax
+
+    k_p0, k_p1 = _wpoly_kernels(k.astype(xp.dtype))
+    dn = ("NHWC", "HWIO", "NHWC")
+    b = bias.astype(xp.dtype)
+    y0 = jax.lax.conv_general_dilated(
+        xp, k_p0, (1, 1), ((1, 1), (1, 0)), dimension_numbers=dn
+    )
+    y1 = jax.lax.conv_general_dilated(
+        xp, k_p1, (1, 1), ((1, 1), (0, 1)), dimension_numbers=dn
+    )
+    # concat is px-major (c minor) == the phase-space channel convention.
+    return jnp.concatenate([y0 + b, y1 + b], axis=-1)
+
+
+def _wpoly_stage1(x, k1, b1, k2, b2):
+    """conv1_1 + relu + conv1_2 + relu + pool1, entirely in W-phase space."""
+    bb, hh, wd, c = x.shape
+    xp = x.reshape(bb, hh, wd // 2, 2 * c)  # free (row-major view)
+    yp = nn.relu(_wpoly_conv(xp, k1, b1))
+    yp = nn.relu(_wpoly_conv(yp, k2, b2))
+    n = yp.shape[-1] // 2
+    y = jnp.max(yp.reshape(bb, hh, wd // 2, 2, n), axis=3)  # pool over px
+    return jnp.max(y.reshape(bb, hh // 2, 2, wd // 2, n), axis=2)  # row pairs
+
+
 class _ConvParams(nn.Module):
     """Declare conv kernel/bias params without an nn.Conv forward — the fused
     Pallas stem consumes them directly while keeping the parameter tree
@@ -76,6 +147,15 @@ class VGG16Reduced(nn.Module):
             b, h, wd, c = x.shape
             x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+        elif self.stem == "poly":
+            # W-polyphase stage 1 (module comment above): weight-compatible
+            # with stem="conv" (identical param tree; kernels rearranged
+            # in-graph), exact, full-lane stage-1 reads.
+            n1 = w(64)
+            k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
+            k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()
+            x = _wpoly_stage1(x, k1, b1, k2, b2)
+            start_stage = 1
         elif self.stem in ("fused", "fused2"):
             import jax
 

@@ -122,3 +122,33 @@ class TestBf16Numerics:
         assert np.abs(s32 - s16).max() < 0.15
         agree = (s32.argmax(-1) == s16.argmax(-1)).mean()
         assert agree > 0.95, agree
+
+
+def test_poly_stem_exact():
+    """stem="poly" (W-polyphase stage 1, models/vgg.py) must reproduce the
+    stem="conv" forward with the SAME parameter tree: entry/exit are pure
+    reshapes, the kernel rearrangement covers every tap exactly once, the
+    asymmetric W paddings reproduce SAME-conv borders, and phase/row max
+    equals pool1. Tolerance-level (conv decomposition reassociates sums)."""
+    model = tiny_detector(temporal=True)
+    poly = model.clone(stem="poly")
+    rng = np.random.RandomState(11)
+    frames = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x0, model.zero_state(2))
+    params_poly = poly.init(jax.random.PRNGKey(4), x0, poly.zero_state(2))
+    # Identical param trees (poly is a pure serving/training flag).
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_poly
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(params_poly)[0],
+    ):
+        assert a.shape == b.shape, (pa, a.shape, b.shape)
+    preds_ref, _ = model.apply(params, frames, model.zero_state(2))
+    preds_poly, _ = poly.apply(params, frames, poly.zero_state(2))
+    for a, b in zip(preds_ref, preds_poly):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=1e-5)
