@@ -152,3 +152,43 @@ def test_poly_stem_exact():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-9
         np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=1e-5)
+
+
+def test_poly_stem_trains_and_runs_bf16():
+    """The poly kernel rearrangement is in-graph and differentiable: a train
+    step must produce nonzero conv1_1/conv1_2 grads; and the resident-bf16
+    serving transform must compose (kernels cast at load, rearranged per
+    step in bf16)."""
+    from tdrn_tpu.ops.priors import prior_boxes
+    from tdrn_tpu.train import Targets, refine_multibox_loss
+    from tdrn_tpu.utils.precision import apply_inference_precision
+
+    model = tiny_detector(temporal=True).clone(stem="poly")
+    cfg = model.cfg
+    rng = np.random.RandomState(12)
+    frames = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(5), x0, model.zero_state(2))
+    targets = Targets(
+        jnp.asarray(np.tile([[0.2, 0.2, 0.7, 0.7]], (2, 4, 1)).astype(np.float32)),
+        jnp.ones((2, 4), jnp.int32),
+        jnp.asarray(np.tile([True, False, False, False], (2, 1))),
+    )
+    priors = prior_boxes(cfg)
+
+    def loss_fn(p):
+        preds, _ = model.apply(p, frames, model.zero_state(2))
+        loss, _ = refine_multibox_loss(preds, priors, targets, cfg)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    g11 = grads["params"]["backbone"]["conv1_1"]["kernel"]
+    g12 = grads["params"]["backbone"]["conv1_2"]["kernel"]
+    assert float(jnp.abs(g11).max()) > 0
+    assert float(jnp.abs(g12).max()) > 0
+
+    m16, p16 = apply_inference_precision(model, params, "bf16")
+    preds16, _ = m16.apply(p16, frames, m16.zero_state(2))
+    assert preds16.odm_conf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(preds16.odm_conf)).all()
