@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--config", default="vid_320", help="detector config name")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
-    ap.add_argument("--stem", default="conv", choices=["conv", "poly", "s2d", "fused", "fused2"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--prefilter", type=int, default=512,
                     help="streaming-profile anchor cap before per-class NMS "

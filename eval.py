@@ -30,7 +30,7 @@ def parse_args():
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--backbone", default=None, choices=["vgg16", "resnet101"],
                     help="defaults to the checkpoint's meta")
-    ap.add_argument("--stem", default=None, choices=["conv", "poly", "s2d", "fused", "fused2"],
+    ap.add_argument("--stem", default=None, choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"],
                     help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
     ap.add_argument("--batch_size", type=int, default=32)

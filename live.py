@@ -21,7 +21,7 @@ def parse_args():
     ap.add_argument("--dataset", default=None,
                     help="config name; defaults to the checkpoint's meta (else vid_320)")
     ap.add_argument("--backbone", default=None)
-    ap.add_argument("--stem", default=None, choices=["conv", "poly", "s2d", "fused", "fused2"],
+    ap.add_argument("--stem", default=None, choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"],
                     help="override the checkpoint's stem (fused = Pallas stage-1)")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--source", default="0", help="camera index or video path")

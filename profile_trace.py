@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--config", default="vid_320")
     ap.add_argument("--backbone", default="vgg16")
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--stem", default="conv", choices=["conv", "poly", "s2d", "fused", "fused2"])
+    ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--prefilter", type=int, default=0)
     ap.add_argument("--bf16_weights", action="store_true",

@@ -91,12 +91,47 @@ def _wpoly_conv(xp, k, bias):
     return jnp.concatenate([y0 + b, y1 + b], axis=-1)
 
 
-def _wpoly_stage1(x, k1, b1, k2, b2):
+def _wpoly2_conv(xp, k, bias):
+    """poly2 variant: BOTH output phases from ONE symmetric (3,3)-window conv
+    over phase space — full 2N-wide (128-lane at N=64) MXU outputs at 2x
+    FLOPs (18 of 36 taps nonzero) instead of two half-wide convs at 1.33x.
+    Which trade wins is an on-device question (NOTES.md round-4)."""
+    import jax
+
+    kk = k.astype(xp.dtype)
+    z = jnp.zeros_like(kk[:, 0])  # (3, C, N)
+    # Window xs cols {j-1, j, j+1}; out channels (px*N + n), px-major.
+    # phase 0 (full-res 2j):  k0 @ (j-1,px1), k1 @ (j,px0), k2 @ (j,px1)
+    # phase 1 (full-res 2j+1): k0 @ (j,px0), k1 @ (j,px1), k2 @ (j+1,px0)
+    wcol0 = jnp.concatenate(
+        [jnp.concatenate([z, z], axis=2), jnp.concatenate([kk[:, 0], z], axis=2)],
+        axis=1,
+    )  # (3, 2C, 2N): rows = (px0, px1) input blocks, cols = (ph0, ph1) outputs
+    wcol1 = jnp.concatenate(
+        [
+            jnp.concatenate([kk[:, 1], kk[:, 0]], axis=2),
+            jnp.concatenate([kk[:, 2], kk[:, 1]], axis=2),
+        ],
+        axis=1,
+    )
+    wcol2 = jnp.concatenate(
+        [jnp.concatenate([z, kk[:, 2]], axis=2), jnp.concatenate([z, z], axis=2)],
+        axis=1,
+    )
+    kp = jnp.stack([wcol0, wcol1, wcol2], axis=1)  # (3, 3, 2C, 2N)
+    y = jax.lax.conv_general_dilated(
+        xp, kp, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + jnp.concatenate([bias, bias]).astype(xp.dtype)
+
+
+def _wpoly_stage1(x, k1, b1, k2, b2, conv=None):
     """conv1_1 + relu + conv1_2 + relu + pool1, entirely in W-phase space."""
+    conv = conv or _wpoly_conv
     bb, hh, wd, c = x.shape
     xp = x.reshape(bb, hh, wd // 2, 2 * c)  # free (row-major view)
-    yp = nn.relu(_wpoly_conv(xp, k1, b1))
-    yp = nn.relu(_wpoly_conv(yp, k2, b2))
+    yp = nn.relu(conv(xp, k1, b1))
+    yp = nn.relu(conv(yp, k2, b2))
     n = yp.shape[-1] // 2
     y = jnp.max(yp.reshape(bb, hh, wd // 2, 2, n), axis=3)  # pool over px
     return jnp.max(y.reshape(bb, hh // 2, 2, wd // 2, n), axis=2)  # row pairs
@@ -147,14 +182,17 @@ class VGG16Reduced(nn.Module):
             b, h, wd, c = x.shape
             x = x.reshape(b, h // 2, 2, wd // 2, 2, c)
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
-        elif self.stem == "poly":
+        elif self.stem in ("poly", "poly2"):
             # W-polyphase stage 1 (module comment above): weight-compatible
             # with stem="conv" (identical param tree; kernels rearranged
-            # in-graph), exact, full-lane stage-1 reads.
+            # in-graph), exact, full-lane stage-1 reads. poly = two (3,2)
+            # convs at 1.33x FLOPs; poly2 = one (3,3) conv with full-width
+            # outputs at 2x FLOPs.
             n1 = w(64)
             k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
             k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()
-            x = _wpoly_stage1(x, k1, b1, k2, b2)
+            conv = _wpoly2_conv if self.stem == "poly2" else _wpoly_conv
+            x = _wpoly_stage1(x, k1, b1, k2, b2, conv)
             start_stage = 1
         elif self.stem in ("fused", "fused2"):
             import jax

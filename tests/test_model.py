@@ -124,14 +124,15 @@ class TestBf16Numerics:
         assert agree > 0.95, agree
 
 
-def test_poly_stem_exact():
+@pytest.mark.parametrize("stem", ["poly", "poly2"])
+def test_poly_stem_exact(stem):
     """stem="poly" (W-polyphase stage 1, models/vgg.py) must reproduce the
     stem="conv" forward with the SAME parameter tree: entry/exit are pure
     reshapes, the kernel rearrangement covers every tap exactly once, the
     asymmetric W paddings reproduce SAME-conv borders, and phase/row max
     equals pool1. Tolerance-level (conv decomposition reassociates sums)."""
     model = tiny_detector(temporal=True)
-    poly = model.clone(stem="poly")
+    poly = model.clone(stem=stem)
     rng = np.random.RandomState(11)
     frames = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
     x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
