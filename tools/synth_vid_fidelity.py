@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--staged", action=argparse.BooleanOptionalAction, default=True,
                     help="reference-style staged training: frame model first, "
                          "clip model fine-tunes from it (--init_from)")
+    ap.add_argument("--mixed_frames", type=int, default=0,
+                    help="pass --mixed_frames N to the CLIP training (round-3 "
+                         "cold-start diagnosis: restores scene diversity; "
+                         "pair with --no-staged to A/B cold-start recipes)")
     ap.add_argument("--precision_check", action="store_true",
                     help="also eval the temporal model with --precision bf16 "
                          "(resident-bf16 serving profile) and report the mAP "
@@ -195,12 +199,14 @@ def main():
               "--save_folder", w_frame, "--save_every", str(args.steps)] + common,
              env)
         staged = ["--init_from", w_frame] if args.staged else []
+        mixed = (["--mixed_frames", str(args.mixed_frames)]
+                 if args.mixed_frames else [])
         _run([sys.executable, "train.py", "--clip",
               "--seq_len", str(args.seq_len),
               "--batch_size", str(args.batch_size),
               "--max_iter", str(args.steps),
               "--save_folder", w_clip, "--save_every", str(args.steps)]
-             + staged + common,
+             + staged + mixed + common,
              env)
 
     ev = [sys.executable, "eval.py", "--dataset", "vid_320",
@@ -221,6 +227,7 @@ def main():
             result["temporal_mAP"] - result["frame_mAP"], 4
         )
     result["staged"] = bool(args.staged)
+    result["mixed_frames"] = args.mixed_frames
     if args.precision_check:
         out_b = _run(ev + ["--checkpoint", w_clip, "--temporal",
                            "--precision", "bf16"], env)

@@ -73,11 +73,23 @@ def parse_args():
     ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint per-frame forwards in clip mode (less HBM)")
+    ap.add_argument("--mixed_frames", type=int, default=0,
+                    help="clip mode: interleave one frame-objective optimizer "
+                         "step per iteration on this many INDEPENDENT frames "
+                         "(run as T=1 clips through the same train step). "
+                         "Restores the scene diversity cold-start clip "
+                         "training lacks (4 correlated scenes/step vs frame "
+                         "training's batch_size independent ones — NOTES.md "
+                         "round-3 diagnosis). Each iteration then performs 2 "
+                         "optimizer steps; --max_iter still bounds TOTAL "
+                         "optimizer steps.")
     return ap.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.mixed_frames and not args.clip:
+        raise SystemExit("--mixed_frames requires --clip")
     import jax
     import jax.numpy as jnp
 
@@ -214,20 +226,47 @@ def main():
             clip_mode=args.clip,
             seed=args.seed,
         )
+    frame_iter = None
+    if args.mixed_frames:
+        frame_ds = VIDDetection(
+            args.data_root, "train", mode="frame", transform=aug,
+            seed=args.seed + 7919,
+        )
+        frame_iter = iter(make_loader(
+            frame_ds, batch_size=args.mixed_frames, num_workers=2,
+            clip_mode=False, seed=args.seed + 7919,
+        ))
+
     t_last = time.perf_counter()
-    for it, batch in zip(range(int(ts.step), args.max_iter), loader):
+    stride = 2 if frame_iter is not None else 1
+    start = int(ts.step)
+    iters = max(0, -(-(args.max_iter - start) // stride))
+    for it, batch in zip(range(iters), loader):
         images, boxes, labels, valid = batch
         images = shard_batch_tree(np.ascontiguousarray(images), mesh, args.clip)
         targets = shard_batch_tree(
             Targets(boxes, labels, valid), mesh, leading_time_axis=args.clip
         )
         ts, metrics = step_fn(ts, images, targets)
+        if frame_iter is not None:
+            # Frame-objective step: independent frames as T=1 clips through
+            # the SAME jitted step (second shape variant, compiled once).
+            fi, fb, fl, fv = next(frame_iter)
+            fimages = shard_batch_tree(
+                np.ascontiguousarray(fi)[None], mesh, leading_time_axis=True
+            )
+            ftargets = shard_batch_tree(
+                Targets(fb[None], fl[None], fv[None]), mesh,
+                leading_time_axis=True,
+            )
+            ts, fmetrics = step_fn(ts, fimages, ftargets)
+            metrics = dict(metrics, frame_loss=fmetrics["loss"])
         if (it + 1) % args.log_every == 0:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.perf_counter()
-            metrics["steps_per_sec"] = args.log_every / (now - t_last)
+            metrics["steps_per_sec"] = args.log_every * stride / (now - t_last)
             t_last = now
-            logger.log(it + 1, metrics)
+            logger.log(start + (it + 1) * stride, metrics)
         ckpt.maybe_save(ts)
     ckpt.maybe_save(ts, force=True)
     ckpt.wait()
