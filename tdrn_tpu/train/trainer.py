@@ -129,23 +129,43 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     clip_mode: bool = False,
     remat: bool = False,
+    compute_dtype: Optional[Any] = None,
 ):
     """Build the jitted train step.
 
     clip_mode=False: images (B, H, W, 3), targets (B, G, ...).
     clip_mode=True:  frames (T, B, H, W, 3), targets (T, B, G, ...) — TDRN
     truncated-BPTT over the clip. remat checkpoints per-frame forwards.
+
+    compute_dtype=jnp.bfloat16 enables mixed-precision training: the
+    feature-pyramid params are cast bf16 ONCE per step — hoisted outside the
+    clip scan, unlike flax ``dtype=bf16`` on an fp32 tree, which re-casts
+    every weight inside each scan iteration — while the ARM/ODM heads, the
+    loss, the optimizer state, and the master params all stay fp32 (the same
+    fp32-heads split as the resident-bf16 inference profile, so train and
+    serve precision match). Grads flow through the cast back to the fp32
+    masters; bf16 keeps fp32's exponent range, so no loss scaling is needed.
     """
     cfg = model.cfg
+    loss_model = model
+    cast_in = None
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        from tdrn_tpu.utils.precision import cast_params_bf16
+
+        assert jnp.dtype(compute_dtype) == jnp.bfloat16, compute_dtype
+        loss_model = model.clone(dtype=compute_dtype, head_dtype=jnp.float32)
+        cast_in = cast_params_bf16
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch_images: Array, targets: Targets):
         priors = prior_boxes(cfg)
 
         def loss_fn(params):
+            if cast_in is not None:
+                params = cast_in(params)
             if clip_mode:
-                return _clip_loss(model, params, batch_images, targets, priors, cfg, remat)
-            return _image_loss(model, params, batch_images, targets, priors, cfg)
+                return _clip_loss(loss_model, params, batch_images, targets, priors, cfg, remat)
+            return _image_loss(loss_model, params, batch_images, targets, priors, cfg)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)

@@ -103,28 +103,57 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.9, losses
 
     def test_bf16_training_converges(self, setup):
-        """bf16 activations (fp32 params/optimizer — flax dtype= casts
-        activations only): finite grads and decreasing loss, so the --bf16
-        training flag is evidence-backed (VERDICT round-1 weak #6)."""
+        """Mixed-precision training (train.py --bf16): fp32 master params, a
+        single hoisted bf16 cast of the feature pyramid per step, fp32
+        heads/loss. Finite grads and decreasing loss, so the --bf16 training
+        flag is evidence-backed (VERDICT round-1 weak #6)."""
         from tdrn_tpu.config import TINY_64
 
         _, _, images, targets = setup
         model = build_detector(
             TINY_64, temporal=False, tcb_channels=32, width_mult=0.125,
-            dtype=jnp.bfloat16,
         )
         opt = make_optimizer(base_lr=5e-3, warmup_steps=1, milestones=(10**9,))
         ts = init_train_state(model, jax.random.PRNGKey(1), opt, batch=4)
         # Params must stay fp32 (mixed precision: bf16 compute, fp32 master).
         assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(ts.params))
-        step = make_train_step(model, opt, clip_mode=False)
+        step = make_train_step(model, opt, clip_mode=False,
+                               compute_dtype=jnp.bfloat16)
         losses = []
         for _ in range(12):
             ts, metrics = step(ts, images, targets)
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all(), losses
+        # Masters stay fp32 through the update (grads cast back by autodiff).
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(ts.params))
         assert all(np.isfinite(x).all() for x in jax.tree.leaves(ts.params))
         assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_bf16_clip_training_step(self):
+        """Mixed precision composes with clip-mode TBPTT: the param cast is
+        hoisted outside the lax.scan (one cast per step, not per frame) and
+        the bf16 temporal carry trains to a decreasing loss."""
+        model = tiny_detector(temporal=True)
+        rng = np.random.RandomState(5)
+        t, b = 3, 2
+        frames = jnp.asarray(rng.rand(t, b, 64, 64, 3).astype(np.float32))
+        img, tg = synth_batch(rng, batch=b)
+        targets = Targets(
+            jnp.tile(tg.boxes[None], (t, 1, 1, 1)),
+            jnp.tile(tg.labels[None], (t, 1, 1)),
+            jnp.tile(tg.valid[None], (t, 1, 1)),
+        )
+        opt = make_optimizer(base_lr=5e-3, warmup_steps=1, milestones=(10**9,))
+        ts = init_train_state(model, jax.random.PRNGKey(2), opt, batch=b)
+        step = make_train_step(model, opt, clip_mode=True,
+                               compute_dtype=jnp.bfloat16)
+        losses = []
+        for _ in range(10):
+            ts, metrics = step(ts, frames, targets)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all(), losses
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(ts.params))
+        assert losses[-1] < losses[0], losses
 
     @pytest.mark.parametrize("remat", [False, True])
     def test_clip_mode_scan(self, remat):

@@ -41,6 +41,10 @@ def main():
                     help="default: 32 frame mode / 4 clip mode")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision train step: bf16 feature-pyramid "
+                         "compute (cast hoisted out of the clip scan), fp32 "
+                         "masters/heads/loss (train/trainer.py compute_dtype)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint per-frame forwards in clip mode")
     ap.add_argument("--gpercore", action="store_true", help=argparse.SUPPRESS)
@@ -66,7 +70,10 @@ def main():
     )
     opt = make_optimizer(base_lr=1e-3, warmup_steps=10)
     ts = init_train_state(model, jax.random.PRNGKey(0), opt, batch=batch)
-    step = make_train_step(model, opt, clip_mode=args.clip, remat=args.remat)
+    step = make_train_step(
+        model, opt, clip_mode=args.clip, remat=args.remat,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
 
     rng = np.random.RandomState(0)
     g = 8  # padded GT slots per image
@@ -124,6 +131,7 @@ def main():
         "seq_len": args.seq_len if args.clip else None,
         "batch": batch,
         "remat": args.remat,
+        "bf16": args.bf16,
         "loss": round(loss, 4),
         "device": str(jax.devices()[0]),
     }

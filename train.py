@@ -70,7 +70,12 @@ def parse_args():
     ap.add_argument("--coordinator", default=None, help="host:port for multihost")
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--tensorboard", action="store_true")
-    ap.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 feature-pyramid "
+                         "compute + carry (params cast once per step, hoisted "
+                         "out of the clip scan), fp32 masters/heads/loss — "
+                         "the training twin of the resident-bf16 serving "
+                         "profile (utils/precision.py)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint per-frame forwards in clip mode (less HBM)")
     ap.add_argument("--mixed_frames", type=int, default=0,
@@ -115,9 +120,10 @@ def main():
     from tdrn_tpu.utils.logging import MetricsLogger
 
     cfg = get_config(args.dataset)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # Model (and checkpoint) params are always fp32 masters; --bf16 selects
+    # the mixed-precision COMPUTE path inside the train step instead.
     model = build_detector(
-        cfg, backbone=args.backbone, temporal=args.clip, dtype=dtype,
+        cfg, backbone=args.backbone, temporal=args.clip,
         stem=args.stem, temporal_cell=args.temporal_cell,
         backbone_norm=args.backbone_norm,
     )
@@ -208,7 +214,10 @@ def main():
             ts = replicate_tree(restored, mesh)
             print(f"resumed at step {int(ts.step)}")
 
-    step_fn = make_train_step(model, opt, clip_mode=args.clip, remat=args.remat)
+    step_fn = make_train_step(
+        model, opt, clip_mode=args.clip, remat=args.remat,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
     logger = MetricsLogger(args.save_folder, tensorboard=args.tensorboard, echo_every=args.log_every)
 
     if args.loader == "grain":
