@@ -57,6 +57,9 @@ def main():
                          "to full fp32")
     args = ap.parse_args()
 
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
+
     import jax
     import jax.numpy as jnp
 

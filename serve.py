@@ -81,6 +81,8 @@ def main():
 
     faulthandler.register(signal.SIGUSR1)
     args = parse_args()
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
     server, class_names = build_server(args)
     import cv2
 

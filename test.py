@@ -44,6 +44,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
     import cv2
     import jax.numpy as jnp
 

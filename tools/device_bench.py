@@ -61,6 +61,9 @@ def main():
                          "lax.top_k candidate selection)")
     args = ap.parse_args()
 
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
+
     import jax
     import jax.numpy as jnp
 

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--gpercore", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
+
     import jax
     import jax.numpy as jnp
 

@@ -95,6 +95,8 @@ def main():
     args = parse_args()
     if args.mixed_frames and not args.clip:
         raise SystemExit("--mixed_frames requires --clip")
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
     import jax
     import jax.numpy as jnp
 
