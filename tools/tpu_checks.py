@@ -60,10 +60,40 @@ def check_topk_equivalence(trials: int = 8) -> int:
     return failures
 
 
+def check_compile_cache() -> bool:
+    """Report whether this backend serializes executables into the persistent
+    compilation cache (utils/compile_cache.py). Informational: a backend that
+    can't serialize just misses the cache — but knowing it works means
+    serve/train cold-starts skip the multi-minute remote compile."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdrn_tpu.utils.compile_cache import enable_compile_cache
+
+    with tempfile.TemporaryDirectory() as d:
+        enable_compile_cache(d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            jax.jit(lambda x: (x @ x).sum() * 7)(
+                jnp.ones((256, 256))
+            ).block_until_ready()
+            entries = [f for f in os.listdir(d) if not f.startswith(".")]
+        finally:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_compilation_cache_dir", None)
+    ok = bool(entries)
+    print(f"persistent compilation cache on this backend: "
+          f"{'WORKS' if ok else 'NOT SUPPORTED (cache misses only)'}")
+    return ok
+
+
 def main():
     import jax
 
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
+    check_compile_cache()
     failures = check_topk_equivalence()
     if failures:
         print(f"{failures} top-k equivalence failures — approx_topk is NOT "
