@@ -192,7 +192,11 @@ class VGG16Reduced(nn.Module):
             k1, b1 = _ConvParams((3, 3, x.shape[-1], n1), name="conv1_1")()
             k2, b2 = _ConvParams((3, 3, n1, n1), name="conv1_2")()
             conv = _wpoly2_conv if self.stem == "poly2" else _wpoly_conv
-            x = _wpoly_stage1(x, k1, b1, k2, b2, conv)
+            # Compute in self.dtype like every other stem (conv3x3 casts its
+            # input; _wpoly_conv follows the input's dtype) — otherwise an
+            # fp32 input would silently run stage 1 in fp32 under the bf16
+            # compute profile.
+            x = _wpoly_stage1(x.astype(self.dtype), k1, b1, k2, b2, conv)
             start_stage = 1
         elif self.stem in ("fused", "fused2"):
             import jax

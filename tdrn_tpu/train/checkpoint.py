@@ -33,9 +33,14 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def maybe_save(self, ts: TrainState, force: bool = False) -> bool:
-        """Save if the step hits the cadence (call every step; cheap no-op otherwise)."""
-        step = int(ts.step)
+    def maybe_save(self, ts: TrainState, force: bool = False,
+                   step: int | None = None) -> bool:
+        """Save if the step hits the cadence (call every step; cheap no-op
+        otherwise). Pass ``step`` (host-side counter) to avoid fetching
+        ``ts.step`` — that fetch waits on every dispatched step, serializing
+        the train loop's pipelining on remote transports."""
+        if step is None:
+            step = int(ts.step)
         if not force and (step == 0 or step % self.save_every != 0):
             return False
         self._mgr.save(step, args=ocp.args.StandardSave(_to_saveable(ts)))

@@ -32,12 +32,15 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
 
     Must run before the first jit compilation (imports are fine; config
     updates apply lazily). Returns the directory in use, or None when
-    disabled via TDRN_COMPILE_CACHE=0.
+    disabled via TDRN_COMPILE_CACHE=0. An explicit ``cache_dir`` argument
+    wins over the env var entirely (callers like tools/tpu_checks.py probe a
+    specific directory regardless of the user's opt-out).
     """
-    env = os.environ.get("TDRN_COMPILE_CACHE")
-    if env == "0":
-        return None
-    cache_dir = cache_dir or (env if env else _DEFAULT_DIR)
+    if cache_dir is None:
+        env = os.environ.get("TDRN_COMPILE_CACHE")
+        if env == "0":
+            return None
+        cache_dir = env if env else _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 

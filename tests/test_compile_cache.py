@@ -9,6 +9,7 @@ from tdrn_tpu.utils.compile_cache import enable_compile_cache
 
 
 def test_cache_writes_and_hits(tmp_path, monkeypatch):
+    monkeypatch.delenv("TDRN_COMPILE_CACHE", raising=False)
     d = enable_compile_cache(str(tmp_path))
     assert d == str(tmp_path)
     # The CLI default (>=1s compiles) would skip this tiny graph; lower the
@@ -26,7 +27,12 @@ def test_cache_writes_and_hits(tmp_path, monkeypatch):
 
 def test_opt_out(monkeypatch, tmp_path):
     monkeypatch.setenv("TDRN_COMPILE_CACHE", "0")
-    assert enable_compile_cache(str(tmp_path)) is None
+    assert enable_compile_cache() is None
+    # An explicit directory (e.g. the tpu_checks probe) overrides the opt-out.
+    try:
+        assert enable_compile_cache(str(tmp_path)) == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_env_redirect(monkeypatch, tmp_path):

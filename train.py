@@ -152,6 +152,17 @@ def main():
                 f"dataset split not found under {args.data_root} "
                 f"(--image_sets {args.image_sets}): {e}"
             )
+    from tdrn_tpu.data import VID_CLASSES, VOC_CLASSES
+
+    n_fg = len(VID_CLASSES) if isinstance(dataset, VIDDetection) else len(VOC_CLASSES)
+    if cfg.num_classes < n_fg + 1:
+        # Out-of-range labels reach take_along_axis in the loss, whose jit
+        # gather fills NaN in the forward (and silently drops the OOB grad) —
+        # a silent-NaN trap; fail loudly at startup instead.
+        raise SystemExit(
+            f"config {cfg.name} has num_classes={cfg.num_classes} (incl. "
+            f"background) but the dataset has {n_fg} foreground classes"
+        )
     print(f"dataset: {len(dataset)} samples; priors: {cfg.num_priors}")
 
     opt = make_optimizer(
@@ -249,17 +260,21 @@ def main():
         ))
 
     t_last = time.perf_counter()
-    stride = 2 if frame_iter is not None else 1
     start = int(ts.step)
-    iters = max(0, -(-(args.max_iter - start) // stride))
-    for it, batch in zip(range(iters), loader):
+    steps_done = start  # optimizer steps, exactly bounded by --max_iter
+    steps_logged = start
+    for batch in loader:
+        if steps_done >= args.max_iter:
+            break
         images, boxes, labels, valid = batch
         images = shard_batch_tree(np.ascontiguousarray(images), mesh, args.clip)
         targets = shard_batch_tree(
             Targets(boxes, labels, valid), mesh, leading_time_axis=args.clip
         )
         ts, metrics = step_fn(ts, images, targets)
-        if frame_iter is not None:
+        steps_done += 1
+        ckpt.maybe_save(ts, step=steps_done)  # host-side step: no fetch
+        if frame_iter is not None and steps_done < args.max_iter:
             # Frame-objective step: independent frames as T=1 clips through
             # the SAME jitted step (second shape variant, compiled once).
             fi, fb, fl, fv = next(frame_iter)
@@ -272,13 +287,15 @@ def main():
             )
             ts, fmetrics = step_fn(ts, fimages, ftargets)
             metrics = dict(metrics, frame_loss=fmetrics["loss"])
-        if (it + 1) % args.log_every == 0:
+            steps_done += 1
+            ckpt.maybe_save(ts, step=steps_done)
+        if steps_done - steps_logged >= args.log_every:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.perf_counter()
-            metrics["steps_per_sec"] = args.log_every * stride / (now - t_last)
+            metrics["steps_per_sec"] = (steps_done - steps_logged) / (now - t_last)
             t_last = now
-            logger.log(start + (it + 1) * stride, metrics)
-        ckpt.maybe_save(ts)
+            steps_logged = steps_done
+            logger.log(steps_done, metrics)
     ckpt.maybe_save(ts, force=True)
     ckpt.wait()
     print("training complete")
