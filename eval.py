@@ -45,7 +45,8 @@ def parse_args():
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
                          "for quantifying its mAP neutrality)")
-    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "bf16", "int8"],
                     help="bf16 = resident-bf16 feature pyramid, fp32 "
                          "heads/detect (utils/precision.py)")
     ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
@@ -74,13 +75,29 @@ def main():
     # overrides. --temporal selects the EVAL mode explicitly (a clip-trained
     # checkpoint restores into either mode via subtree-tolerant grafting).
     try:
+        # int8 = bf16 serving profile + quantized backbone (calibrated below
+        # on the eval set's own first frames).
+        base_precision = "bf16" if args.precision == "int8" else args.precision
         model, params, cfg, step, meta = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
-            stem=args.stem, temporal=args.temporal, precision=args.precision,
+            stem=args.stem, temporal=args.temporal, precision=base_precision,
             backbone_norm=args.backbone_norm,
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))
+
+    def maybe_quantize(model, params, frames_u8):
+        """--precision int8: quantize the backbone, calibrating the static
+        activation scales on this eval's own first frames (utils/quantize)."""
+        if args.precision != "int8":
+            return model, params
+        from tdrn_tpu.ops.preprocess import preprocess_batch
+        from tdrn_tpu.utils.quantize import apply_int8_backbone
+
+        calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
+        model, params = apply_int8_backbone(model, params, calib)
+        print(f"int8 backbone: calibrated on {min(len(frames_u8), 8)} frames")
+        return model, params
     is_vid = cfg.name.startswith("vid")
     class_names = VID_CLASSES if is_vid else VOC_CLASSES
     print(f"restored step {step}")
@@ -110,6 +127,9 @@ def main():
                 snippets.append(snip)
                 if args.max_images and count >= args.max_images:
                     break
+            model, params = maybe_quantize(
+                model, params, [f for snip in snippets for (_, _, f) in snip]
+            )
             det = StreamingDetector(model, params, num_streams=args.batch_size,
                                     prefilter=args.prefilter or None)
             accum = run_streaming(det, snippets, args.score_thresh)
@@ -124,6 +144,7 @@ def main():
                 img_id = f"{rel}/{stem}"
                 all_gt[img_id] = (boxes, labels, np.zeros(len(labels), bool))
                 items.append((img_id, img.shape[:2], prep(img)))
+            model, params = maybe_quantize(model, params, [f for _, _, f in items])
             forward = make_single_image_forward(model, prefilter=args.prefilter or None)
             accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
     else:
@@ -141,6 +162,7 @@ def main():
                 difficult = np.zeros(len(labels), bool)
             all_gt[img_id] = (boxes, labels, difficult)
             items.append((img_id, img.shape[:2], prep(img)))
+        model, params = maybe_quantize(model, params, [f for _, _, f in items])
         forward = make_single_image_forward(model, prefilter=args.prefilter or None)
         accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
 

@@ -28,14 +28,17 @@ Dtype = Any
 
 def _build_backbone(
     name: str, dtype, width_mult: float = 1.0, stem: str = "conv",
-    norm: str = "frozen",
+    norm: str = "frozen", quant: bool = False,
 ):
     if name == "vgg16":
         from tdrn_tpu.models.vgg import VGG16Reduced
 
         return VGG16Reduced(
-            dtype=dtype, width_mult=width_mult, stem=stem, name="backbone"
+            dtype=dtype, width_mult=width_mult, stem=stem, quant=quant,
+            name="backbone",
         )
+    if quant:
+        raise ValueError(f"int8 quant backbone is vgg16-only (got {name})")
     if name == "resnet101":
         from tdrn_tpu.models.resnet import ResNetBackbone
 
@@ -82,6 +85,9 @@ class TDRN(nn.Module):
     # (B, H, W, 4) input — rgb + a constant ones channel. The inference
     # wrappers read this flag to select the preprocess mode.
     fold_mean: bool = False
+    # Serving-only int8 backbone (models/layers.QConv): params produced by
+    # utils/quantize.quantize_backbone from any fp32/bf16 checkpoint.
+    quant: bool = False
     # Zero-pad the input to this many channels before conv1_1 (0 = off).
     # Perf experiment (exact — the matching kernel channels are zero, see
     # utils/precision.apply_pad_stem): a C=3 stem conv triggers XLA's
@@ -100,7 +106,7 @@ class TDRN(nn.Module):
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, self.pad_stem - x.shape[-1])])
         sources = _build_backbone(
             self.backbone, self.dtype, self.width_mult, self.stem,
-            self.backbone_norm,
+            self.backbone_norm, self.quant,
         )(x)
         assert len(sources) == len(cfg.feature_maps)
         # L2Norm the two shallow scales (reference inits: 10 and 8).

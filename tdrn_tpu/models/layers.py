@@ -65,3 +65,75 @@ def conv1x1(
         features, (1, 1), kernel_init=kernel_init, bias_init=bias_init,
         dtype=dtype, name=name,
     )
+
+
+class QConv(nn.Module):
+    """int8-quantized conv (serving-only, SURVEY.md §6 "beat on perf" row).
+
+    The v5e MXU runs s8 x s8 -> s32 at 2x its bf16 rate (394 vs 197 T/s), and
+    the round-3 b8 trace shows the backbone convs MXU/tiling-bound (70% of
+    the step). This module is the TPU-native post-training-quantization path:
+
+      * ``kernel``  — int8, HWIO, symmetric per-OUTPUT-channel; the stored
+        ``wscale`` (f32, one per out channel) is the quantization step
+        ``max|w| / 127``.
+      * ``xscale``  — f32 scalar: the CALIBRATED max|input| of this layer
+        (utils/quantize.calibrate_act_scales). Static, so the in-graph
+        activation quantization is a fused elementwise pass with NO runtime
+        reduction — and it writes int8, halving the conv's input read traffic
+        vs bf16.
+      * accumulation in int32 (``preferred_element_type``), dequantized with
+        the folded factor ``(xscale/127) * wscale`` per channel, bias added in
+        f32, output cast to ``dtype``.
+
+    Zero-point is 0 (symmetric), so SAME zero-padding stays exact. Params are
+    produced by ``utils/quantize.quantize_backbone`` from any fp32/bf16
+    checkpoint; this module has no meaningful init (serving-only — no autodiff
+    through ``round``).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (kh, kw, cin, self.features),
+        )
+        wscale = self.param(
+            "wscale", lambda key, shape: jnp.ones(shape, jnp.float32),
+            (self.features,),
+        )
+        xscale = self.param(
+            "xscale", lambda key, shape: jnp.ones(shape, jnp.float32), ()
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        import jax
+
+        # Quantize the input: f32 math for the scaling/round (elementwise,
+        # fused), int8 materialization (half the bytes of bf16).
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (127.0 / xscale)), -127.0, 127.0
+        ).astype(jnp.int8)
+        d = self.dilation
+        pad = (d * (kh - 1)) // 2, (d * (kw - 1)) // 2
+        y = jax.lax.conv_general_dilated(
+            xq,
+            k,
+            (self.stride, self.stride),
+            ((pad[0], pad[0]), (pad[1], pad[1])),
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        out = y.astype(jnp.float32) * (wscale * (xscale / 127.0)) + bias.astype(
+            jnp.float32
+        )
+        return out.astype(self.dtype)

@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from flax.linen import initializers as nn_init
 
-from tdrn_tpu.models.layers import conv1x1, conv3x3
+from tdrn_tpu.models.layers import QConv, conv1x1, conv3x3
 
 Dtype = Any
 
@@ -172,10 +172,31 @@ class VGG16Reduced(nn.Module):
     # (same param tree/geometry; bf16 compute, fp32 accumulate). Inference
     # profile: the kernel has no autodiff path.
     stem: str = "conv"
+    # quant=True: every backbone conv runs as an int8 QConv (models/layers.py)
+    # — serving-only, params produced by utils/quantize.quantize_backbone
+    # from any fp32/bf16 checkpoint (+ a calibration pass for the static
+    # activation scales). conv stem only.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         w = lambda c: max(8, int(c * self.width_mult))
+        if self.quant:
+            assert self.stem == "conv", "quant supports the conv stem only"
+
+            def c3(n, name, stride=1, dilation=1):
+                return QConv(n, (3, 3), stride=stride, dilation=dilation,
+                             dtype=self.dtype, name=name)
+
+            def c1(n, name):
+                return QConv(n, (1, 1), dtype=self.dtype, name=name)
+        else:
+            def c3(n, name, stride=1, dilation=1):
+                return conv3x3(n, stride=stride, dilation=dilation,
+                               dtype=self.dtype, name=name)
+
+            def c1(n, name):
+                return conv1x1(n, dtype=self.dtype, name=name)
         sources = []
         start_stage = 0
         if self.stem == "s2d":
@@ -224,7 +245,7 @@ class VGG16Reduced(nn.Module):
             if si < start_stage:
                 continue
             for ci in range(n):
-                x = conv3x3(w(ch), dtype=self.dtype, name=f"conv{si + 1}_{ci + 1}")(x)
+                x = c3(w(ch), f"conv{si + 1}_{ci + 1}")(x)
                 x = nn.relu(x)
             if si == 3:  # conv4_3 output (pre-pool4)
                 sources.append(x)
@@ -237,11 +258,11 @@ class VGG16Reduced(nn.Module):
         # pool5: stride-2 (RefineDet geometry: fc7 scale = size/32).
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # fc6 -> dilated conv6, fc7 -> 1x1 conv7 (reduced-fc surgery).
-        x = nn.relu(conv3x3(w(1024), dilation=3, dtype=self.dtype, name="conv6")(x))
-        x = nn.relu(conv1x1(w(1024), dtype=self.dtype, name="conv7")(x))
+        x = nn.relu(c3(w(1024), "conv6", dilation=3)(x))
+        x = nn.relu(c1(w(1024), "conv7")(x))
         sources.append(x)
         # Extra layers: conv6_1 (1x1, 256) + conv6_2 (3x3, s2, 512) -> size/64.
-        x = nn.relu(conv1x1(w(256), dtype=self.dtype, name="conv6_1")(x))
-        x = nn.relu(conv3x3(w(512), stride=2, dtype=self.dtype, name="conv6_2")(x))
+        x = nn.relu(c1(w(256), "conv6_1")(x))
+        x = nn.relu(c3(w(512), "conv6_2", stride=2)(x))
         sources.append(x)
         return sources

@@ -1,0 +1,87 @@
+"""int8 backbone quantization (utils/quantize.py + models/layers.QConv)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdrn_tpu.config import TINY_64
+from tdrn_tpu.models import build_detector
+from tdrn_tpu.models.layers import QConv
+from tdrn_tpu.utils.quantize import (
+    VGG_CONV_CHAIN,
+    apply_int8_backbone,
+    calibrate_act_scales,
+)
+
+
+def test_qconv_matches_fp32_conv():
+    """s8 x s8 -> s32 QConv ≈ the fp32 conv it quantizes (both error sources
+    — per-channel weight step and per-tensor activation step — are bounded)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 16, 8).astype(np.float32).clip(0)  # post-relu-like
+    k = (rng.randn(3, 3, 8, 16) * 0.2).astype(np.float32)
+    b = rng.randn(16).astype(np.float32) * 0.1
+
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+
+    ws = np.abs(k).reshape(-1, 16).max(axis=0) / 127.0
+    params = {
+        "params": {
+            "kernel": jnp.asarray(np.clip(np.round(k / ws), -127, 127).astype(np.int8)),
+            "wscale": jnp.asarray(ws, jnp.float32),
+            "xscale": jnp.asarray(np.float32(np.abs(x).max())),
+            "bias": jnp.asarray(b),
+        }
+    }
+    q = QConv(16, (3, 3), dtype=jnp.float32).apply(params, jnp.asarray(x))
+    ref = np.asarray(ref, np.float32)
+    err = np.linalg.norm(np.asarray(q) - ref) / np.linalg.norm(ref)
+    assert err < 0.02, err
+
+
+def test_calibration_chain():
+    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                           width_mult=0.125)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 50)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+    scales = calibrate_act_scales(model, params, x)
+    assert set(scales) == set(VGG_CONV_CHAIN)
+    assert scales["conv1_1"] == pytest.approx(float(jnp.abs(x).max()), rel=1e-6)
+    assert all(s > 0 for s in scales.values())
+
+
+def test_int8_backbone_end_to_end():
+    """Quantized detector ≈ fp32 detector: int8 kernels in the tree, same
+    output shapes, prediction tensors within PTQ error of fp32."""
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.25)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    state = model.zero_state(2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), x, state)
+
+    qmodel, qparams = apply_int8_backbone(model, params, x)
+    kern = qparams["params"]["backbone"]["conv3_1"]["kernel"]
+    assert kern.dtype == jnp.int8
+    assert "xscale" in qparams["params"]["backbone"]["conv3_1"]
+
+    preds, _ = jax.jit(model.apply)(params, x, state)
+    qpreds, qstate = jax.jit(qmodel.apply)(qparams, x, state)
+    for a, b in zip(preds, qpreds):
+        assert a.shape == b.shape
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.25, err  # random-init net; real nets calibrate tighter
+    assert qstate is not None
+
+
+def test_int8_requires_conv_stem():
+    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                           width_mult=0.125, stem="s2d")
+    with pytest.raises(ValueError):
+        apply_int8_backbone(model, {}, np.zeros((1, 64, 64, 3), np.float32))

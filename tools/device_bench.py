@@ -40,6 +40,11 @@ def main():
                     help="Pallas ARM->ODM cascade (ops/cascade_pallas.py)")
     ap.add_argument("--prefilter", type=int, default=0,
                     help="image-wide anchor cap before per-class NMS (0=off)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 backbone (models/layers.QConv, s8xs8->s32 MXU "
+                         "convs): calibrated on this bench's own random "
+                         "frames — perf-only; quality gates via eval.py "
+                         "--precision int8 on the fidelity harness")
     ap.add_argument("--bf16_weights", action="store_true",
                     help="resident-bf16 inference profile: cast feature-"
                          "pyramid weights to bf16 once (fp32 heads/detect; "
@@ -108,6 +113,15 @@ def main():
 
         model, params = apply_inference_precision(model, params, "bf16")
         state0 = model.zero_state(b) if not args.no_temporal else None
+    if args.int8:
+        from tdrn_tpu.utils.quantize import apply_int8_backbone
+
+        calib = preprocess_batch(
+            jnp.asarray(np.random.RandomState(1).randint(
+                0, 255, (ch * b, cfg.size, cfg.size, 3), dtype=np.uint8
+            )), cfg, model.dtype,
+        )
+        model, params = apply_int8_backbone(model, params, calib)
     priors = prior_boxes(cfg)
 
     # DISTINCT frame per step: with a loop-invariant frame XLA hoists the whole
@@ -155,6 +169,7 @@ def main():
         "batch": b,
         "dtype": args.dtype,
         "bf16_weights": args.bf16_weights,
+        "int8": args.int8,
         "fold_mean": args.fold_mean,
         "pad_stem": args.pad_stem,
         "chunk": ch,
