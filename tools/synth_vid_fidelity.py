@@ -171,8 +171,8 @@ def main():
                          "pair with --no-staged to A/B cold-start recipes)")
     ap.add_argument("--precision_check", action="store_true",
                     help="also eval the temporal model with --precision bf16 "
-                         "(resident-bf16 serving profile) and report the mAP "
-                         "delta vs fp32 — the bf16 fidelity gate")
+                         "and int8 (serving profiles) and report each mAP "
+                         "delta vs fp32 — the precision fidelity gates")
     args = ap.parse_args()
 
     data_root = os.path.join(args.out, "data")
@@ -229,14 +229,15 @@ def main():
     result["staged"] = bool(args.staged)
     result["mixed_frames"] = args.mixed_frames
     if args.precision_check:
-        out_b = _run(ev + ["--checkpoint", w_clip, "--temporal",
-                           "--precision", "bf16"], env)
-        aps_b = _parse_aps(out_b.stdout)
-        result["temporal_mAP_bf16"] = m(aps_b)
-        if result["temporal_mAP_bf16"] is not None and result["temporal_mAP"] is not None:
-            result["bf16_delta"] = round(
-                result["temporal_mAP_bf16"] - result["temporal_mAP"], 4
-            )
+        for prec in ("bf16", "int8"):
+            out_p = _run(ev + ["--checkpoint", w_clip, "--temporal",
+                               "--precision", prec], env)
+            aps_p = _parse_aps(out_p.stdout)
+            result[f"temporal_mAP_{prec}"] = m(aps_p)
+            if result[f"temporal_mAP_{prec}"] is not None and result["temporal_mAP"] is not None:
+                result[f"{prec}_delta"] = round(
+                    result[f"temporal_mAP_{prec}"] - result["temporal_mAP"], 4
+                )
     print(json.dumps(result))
 
 
