@@ -45,6 +45,10 @@ def parse_args():
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
                          "for quantifying its mAP neutrality)")
+    ap.add_argument("--save_scales", default=None,
+                    help="with --precision int8: write the calibrated "
+                         "activation scales (json) for offline serving "
+                         "(serve/live/test --int8_scales)")
     ap.add_argument("--precision", default="fp32",
                     choices=["fp32", "bf16", "int8"],
                     help="bf16 = resident-bf16 feature pyramid, fp32 "
@@ -92,10 +96,18 @@ def main():
         if args.precision != "int8":
             return model, params
         from tdrn_tpu.ops.preprocess import preprocess_batch
-        from tdrn_tpu.utils.quantize import apply_int8_backbone
+        from tdrn_tpu.utils.quantize import (
+            apply_int8_backbone,
+            calibrate_act_scales,
+            save_act_scales,
+        )
 
         calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
-        model, params = apply_int8_backbone(model, params, calib)
+        scales = calibrate_act_scales(model, params, calib)
+        if args.save_scales:
+            save_act_scales(args.save_scales, scales)
+            print(f"int8 activation scales -> {args.save_scales}")
+        model, params = apply_int8_backbone(model, params, act_scales=scales)
         print(f"int8 backbone: calibrated on {min(len(frames_u8), 8)} frames")
         return model, params
     is_vid = cfg.name.startswith("vid")

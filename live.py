@@ -28,9 +28,12 @@ def parse_args():
     ap.add_argument("--out", default=None, help="write annotated video here")
     ap.add_argument("--score_thresh", type=float, default=0.4)
     ap.add_argument("--max_frames", type=int, default=0)
-    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16", "int8"],
                     help="bf16 = resident-bf16 feature pyramid, fp32 "
                          "heads/detect (utils/precision.py)")
+    ap.add_argument("--int8_scales", default=None,
+                    help="activation-scales json for --precision int8 "
+                         "(from eval.py --precision int8 --save_scales)")
     ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
                     help="resnet norm override (identical param trees restore "
                          "silently into the wrong norm)")
@@ -55,6 +58,7 @@ def main():
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
             stem=args.stem, temporal=True, dataset_fallback="vid_320",
             precision=args.precision, backbone_norm=args.backbone_norm,
+            int8_scales=args.int8_scales,
         )
     except FileNotFoundError as e:
         raise SystemExit(str(e))

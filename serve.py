@@ -38,9 +38,12 @@ def parse_args():
     ap.add_argument("--window_ms", type=float, default=3.0, help="micro-batch window")
     ap.add_argument("--random_init", action="store_true",
                     help="serve an untrained model (smoke testing)")
-    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16", "int8"],
                     help="bf16 = resident-bf16 feature pyramid, fp32 "
                          "heads/detect (utils/precision.py)")
+    ap.add_argument("--int8_scales", default=None,
+                    help="activation-scales json for --precision int8 "
+                         "(from eval.py --precision int8 --save_scales)")
     ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
                     help="resnet norm override (identical param trees restore "
                          "silently into the wrong norm)")
@@ -61,6 +64,7 @@ def build_server(args):
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
             stem=args.stem, precision=args.precision,
+            int8_scales=args.int8_scales,
             backbone_norm=args.backbone_norm,
             temporal=True, random_init=args.random_init, dataset_fallback="vid_320",
         )

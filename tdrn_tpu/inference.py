@@ -186,6 +186,7 @@ def load_inference_model(
     backbone_norm: Optional[str] = None,
     dtype=jnp.float32,
     precision: Optional[str] = None,
+    int8_scales: Optional[str] = None,
     random_init: bool = False,
     seed: int = 0,
     verbose: bool = True,
@@ -204,6 +205,10 @@ def load_inference_model(
     precision="bf16" converts to the resident-bf16 inference profile after
     restore (utils/precision.py): bf16 feature-pyramid weights + carry, fp32
     ARM/ODM heads and detect. The checkpoint itself stays fp32.
+
+    precision="int8" composes the quantized backbone (utils/quantize.py) on
+    the bf16 profile; it requires ``int8_scales`` — a json of activation
+    scales calibrated offline with ``eval.py --precision int8 --save_scales``.
     """
     import json
     import os
@@ -257,8 +262,26 @@ def load_inference_model(
     template = jax.jit(model.init)(jax.random.PRNGKey(seed), x, state)
     from tdrn_tpu.utils.precision import apply_inference_precision
 
+    def apply_precision(model, params):
+        if precision in ("int8",):
+            if int8_scales is None:
+                raise ValueError(
+                    "precision='int8' needs int8_scales (calibrate offline: "
+                    "eval.py --precision int8 --save_scales <path>)"
+                )
+            from tdrn_tpu.utils.quantize import (
+                apply_int8_backbone,
+                load_act_scales,
+            )
+
+            model, params = apply_inference_precision(model, params, "bf16")
+            return apply_int8_backbone(
+                model, params, act_scales=load_act_scales(int8_scales)
+            )
+        return apply_inference_precision(model, params, precision)
+
     if random_init:
-        model, template = apply_inference_precision(model, template, precision)
+        model, template = apply_precision(model, template)
         return LoadedModel(model, template, cfg, 0, meta)
     mgr = CheckpointManager(checkpoint_dir)
     out = mgr.restore_params(template)
@@ -282,7 +305,7 @@ def load_inference_model(
             f"restore: {len(missing)} template subtree(s) kept at init "
             f"{missing[:4]}, {len(extra)} checkpoint subtree(s) unused {extra[:4]}"
         )
-    model, params = apply_inference_precision(model, params, precision)
+    model, params = apply_precision(model, params)
     return LoadedModel(model, params, cfg, mgr.latest_step() or 0, meta)
 
 

@@ -104,15 +104,42 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
     return out
 
 
-def apply_int8_backbone(model, variables, calib_frames: Any,
-                        headroom: float = 1.0):
+def apply_int8_backbone(model, variables, calib_frames: Any = None,
+                        headroom: float = 1.0,
+                        act_scales: Dict[str, float] | None = None):
     """Calibrate + quantize: returns (quant model, transformed variables).
 
     ``calib_frames`` must be preprocessed like serving inputs (the in-graph
-    ``ops/preprocess.py`` output). Compose AFTER the bf16 profile — the
-    quantizer re-derives f32 scales from whatever weight dtype it's given.
+    ``ops/preprocess.py`` output). Alternatively pass pre-computed
+    ``act_scales`` (e.g. loaded via :func:`load_act_scales` from a calibration
+    done offline with ``eval.py --precision int8 --save_scales``). Compose
+    AFTER the bf16 profile — the quantizer re-derives f32 scales from whatever
+    weight dtype it's given.
     """
     if model.backbone != "vgg16" or model.stem != "conv":
         raise ValueError("int8 backbone supports the vgg16 conv stem only")
-    scales = calibrate_act_scales(model, variables, calib_frames, headroom)
-    return model.clone(quant=True), quantize_backbone_params(variables, scales)
+    if act_scales is None:
+        if calib_frames is None:
+            raise ValueError("need calib_frames or act_scales")
+        act_scales = calibrate_act_scales(model, variables, calib_frames, headroom)
+    return (model.clone(quant=True),
+            quantize_backbone_params(variables, act_scales))
+
+
+def save_act_scales(path: str, scales: Dict[str, float]) -> None:
+    """Persist calibrated activation scales (json) for offline serving."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({k: float(v) for k, v in scales.items()}, f, indent=1)
+
+
+def load_act_scales(path: str) -> Dict[str, float]:
+    import json
+
+    with open(path) as f:
+        scales = json.load(f)
+    missing = set(VGG_CONV_CHAIN) - set(scales)
+    if missing:
+        raise ValueError(f"scales file {path} missing convs: {sorted(missing)}")
+    return {k: float(v) for k, v in scales.items()}

@@ -33,9 +33,12 @@ def parse_args():
     ap.add_argument("--visual_thresh", type=float, default=0.6)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--max_images", type=int, default=0)
-    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16", "int8"],
                     help="bf16 = resident-bf16 feature pyramid, fp32 "
                          "heads/detect (utils/precision.py)")
+    ap.add_argument("--int8_scales", default=None,
+                    help="activation-scales json for --precision int8 "
+                         "(from eval.py --precision int8 --save_scales)")
     ap.add_argument("--backbone_norm", default=None, choices=["frozen", "group"],
                     help="resnet norm override (identical param trees restore "
                          "silently into the wrong norm)")
@@ -56,6 +59,7 @@ def main():
         model, params, cfg, _, _ = load_inference_model(
             args.checkpoint, dataset=args.dataset, backbone=args.backbone,
             stem=args.stem, temporal=False, precision=args.precision,
+            int8_scales=args.int8_scales,
             backbone_norm=args.backbone_norm,
         )
     except FileNotFoundError as e:

@@ -80,6 +80,20 @@ def test_int8_backbone_end_to_end():
     assert qstate is not None
 
 
+def test_scales_roundtrip(tmp_path):
+    from tdrn_tpu.utils.quantize import load_act_scales, save_act_scales
+
+    scales = {k: float(i + 1) for i, k in enumerate(VGG_CONV_CHAIN)}
+    p = str(tmp_path / "scales.json")
+    save_act_scales(p, scales)
+    assert load_act_scales(p) == scales
+    bad = dict(scales)
+    del bad["conv3_2"]
+    save_act_scales(p, bad)
+    with pytest.raises(ValueError):
+        load_act_scales(p)
+
+
 def test_int8_requires_conv_stem():
     model = build_detector(TINY_64, temporal=False, tcb_channels=32,
                            width_mult=0.125, stem="s2d")
