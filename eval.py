@@ -87,7 +87,7 @@ def main():
             stem=args.stem, temporal=args.temporal, precision=base_precision,
             backbone_norm=args.backbone_norm,
         )
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         raise SystemExit(str(e))
 
     def maybe_quantize(model, params, frames_u8):

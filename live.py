@@ -60,7 +60,7 @@ def main():
             precision=args.precision, backbone_norm=args.backbone_norm,
             int8_scales=args.int8_scales,
         )
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         raise SystemExit(str(e))
     if args.pad_stem:
         from tdrn_tpu.utils.precision import apply_pad_stem

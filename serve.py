@@ -68,7 +68,7 @@ def build_server(args):
             backbone_norm=args.backbone_norm,
             temporal=True, random_init=args.random_init, dataset_fallback="vid_320",
         )
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         raise SystemExit(str(e))
     class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
     det = StreamingDetector(model, params, num_streams=args.lanes)

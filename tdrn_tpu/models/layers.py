@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -115,8 +116,6 @@ class QConv(nn.Module):
             "xscale", lambda key, shape: jnp.ones(shape, jnp.float32), ()
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        import jax
-
         # Quantize the input: f32 math for the scaling/round (elementwise,
         # fused), int8 materialization (half the bytes of bf16).
         xq = jnp.clip(

@@ -54,6 +54,12 @@ def calibrate_act_scales(
     a handful of representative images is enough; activations beyond the
     calibrated max are clipped at serving time (standard PTQ behavior).
     """
+    frames = frames[:8]  # capture_intermediates holds EVERY activation alive;
+    # 8 frames bound the footprint (and the host fetch) at any input size.
+    if getattr(model, "chunk", 1) > 1:
+        # Chunked streaming models expect (chunk*B) inputs with B-sized state;
+        # the backbone params are identical at chunk=1, so calibrate there.
+        model = model.clone(chunk=1)
     state = model.zero_state(frames.shape[0]) if model.temporal else None
     _, mods = model.apply(
         variables, frames, state, capture_intermediates=True
@@ -79,7 +85,7 @@ def calibrate_act_scales(
 def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
     """fp32/bf16 backbone conv params -> int8 kernel + wscale + xscale."""
     frozen = type(variables).__name__ == "FrozenDict"
-    plain = dict(variables) if frozen else dict(variables)
+    plain = dict(variables)
     params = dict(plain["params"])
     backbone = dict(params["backbone"])
     for name, xscale in act_scales.items():
@@ -118,6 +124,10 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
     """
     if model.backbone != "vgg16" or model.stem != "conv":
         raise ValueError("int8 backbone supports the vgg16 conv stem only")
+    if getattr(model, "fold_mean", False):
+        # The folded mean taps are ~100x the rgb taps, so a per-output-channel
+        # weight scale would crush the rgb taps to a few int8 steps.
+        raise ValueError("int8 backbone is incompatible with fold_mean")
     if act_scales is None:
         if calib_frames is None:
             raise ValueError("need calib_frames or act_scales")
@@ -140,6 +150,15 @@ def load_act_scales(path: str) -> Dict[str, float]:
     with open(path) as f:
         scales = json.load(f)
     missing = set(VGG_CONV_CHAIN) - set(scales)
-    if missing:
-        raise ValueError(f"scales file {path} missing convs: {sorted(missing)}")
+    extra = set(scales) - set(VGG_CONV_CHAIN)
+    if missing or extra:
+        raise ValueError(
+            f"scales file {path}: missing convs {sorted(missing)}, "
+            f"unknown convs {sorted(extra)}"
+        )
+    bad = {k: v for k, v in scales.items() if not (float(v) > 0)}
+    if bad:
+        # A zero/NaN scale would make QConv compute 127/0 -> inf -> int8
+        # garbage with no error — reject the file instead.
+        raise ValueError(f"scales file {path}: non-positive scales {bad}")
     return {k: float(v) for k, v in scales.items()}

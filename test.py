@@ -62,7 +62,7 @@ def main():
             int8_scales=args.int8_scales,
             backbone_norm=args.backbone_norm,
         )
-    except FileNotFoundError as e:
+    except (FileNotFoundError, ValueError) as e:
         raise SystemExit(str(e))
     class_names = VID_CLASSES if cfg.name.startswith("vid") else VOC_CLASSES
 

@@ -118,8 +118,8 @@ def main():
 
         calib = preprocess_batch(
             jnp.asarray(np.random.RandomState(1).randint(
-                0, 255, (ch * b, cfg.size, cfg.size, 3), dtype=np.uint8
-            )), cfg, model.dtype,
+                0, 255, (min(ch * b, 8), cfg.size, cfg.size, 3), dtype=np.uint8
+            )), cfg, model.dtype, model.fold_mean,
         )
         model, params = apply_int8_backbone(model, params, calib)
     priors = prior_boxes(cfg)
