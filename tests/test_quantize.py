@@ -94,6 +94,26 @@ def test_scales_roundtrip(tmp_path):
         load_act_scales(p)
 
 
+def test_int8_streaming_detector():
+    """The quantized model serves through StreamingDetector (the serve.py /
+    temporal-eval path): per-frame detect with carried state, sane outputs."""
+    from tdrn_tpu.inference import StreamingDetector
+
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.125)
+    rng = np.random.RandomState(3)
+    calib = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), calib,
+                                 model.zero_state(2))
+    qmodel, qparams = apply_int8_backbone(model, params, calib)
+    det = StreamingDetector(qmodel, qparams, num_streams=1)
+    for _ in range(2):
+        frame = rng.randint(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+        out = det.detect(frame)
+        assert np.isfinite(np.asarray(out.scores)).all()
+        assert np.asarray(out.boxes).shape[0] == 1
+
+
 def test_int8_requires_conv_stem():
     model = build_detector(TINY_64, temporal=False, tcb_channels=32,
                            width_mult=0.125, stem="s2d")
