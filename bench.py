@@ -55,6 +55,11 @@ def main():
                          "heads/detect (utils/precision.py) — the streaming "
                          "serving profile default; --no-bf16_weights reverts "
                          "to full fp32")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 backbone on top of the bf16 profile "
+                         "(utils/quantize.py; calibrated on this bench's "
+                         "random frames — perf only, quality gates via "
+                         "eval.py --precision int8)")
     args = ap.parse_args()
 
     from tdrn_tpu.utils.compile_cache import enable_compile_cache
@@ -80,6 +85,16 @@ def main():
         from tdrn_tpu.utils.precision import apply_inference_precision
 
         model, params = apply_inference_precision(model, params, "bf16")
+    if args.int8:
+        from tdrn_tpu.ops.preprocess import preprocess_batch
+        from tdrn_tpu.utils.quantize import apply_int8_backbone
+
+        calib = preprocess_batch(
+            jnp.asarray(np.random.RandomState(1).randint(
+                0, 255, (8, cfg.size, cfg.size, 3), dtype=np.uint8
+            )), cfg, model.dtype,
+        )
+        model, params = apply_int8_backbone(model, params, calib)
 
     det = StreamingDetector(model, params, num_streams=args.batch,
                             prefilter=args.prefilter or None)
@@ -122,6 +137,7 @@ def main():
         "batch": args.batch,
         "dtype": args.dtype,
         "bf16_weights": args.bf16_weights,
+        "int8": args.int8,
         "backbone": args.backbone,
         "stem": args.stem,
         "cell": args.cell,
