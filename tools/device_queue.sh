@@ -1,0 +1,34 @@
+#!/bin/bash
+# Pending device-measurement queue (round-3 session-3; run when the axon
+# tunnel is back). Results -> /tmp/devq.log; transcribe into BENCH.md/NOTES.md.
+# All configs compile-smoked on the CPU backend at full geometry first.
+cd /root/repo
+L=/tmp/devq.log
+: > $L
+run() {
+  echo "=== [$(date -u +%H:%M:%S)] $*" >> $L
+  timeout 580 "$@" >> $L 2>&1
+  echo "--- exit=$? [$(date -u +%H:%M:%S)]" >> $L
+}
+# 0. Per-round invariant check (NOTES: run every round)
+run python tools/tpu_checks.py
+# 1. Stem A/B at b8, default serving profile (bf16 weights + prefilter 512, exact topk)
+run python tools/device_bench.py --batch 8 --stem conv  --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 8 --stem poly  --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 8 --stem poly2 --bf16_weights --prefilter 512
+# 2. Stem A/B at b1 (latency profile; compare also against pad_stem 4 = 1.893)
+run python tools/device_bench.py --batch 1 --stem conv  --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 1 --stem poly  --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 1 --stem poly2 --bf16_weights --prefilter 512
+# 3. Pending fast-profile b8 re-measure under exact-topk default
+run python tools/device_bench.py --batch 8 --stem s2d --cell light --bf16_weights --prefilter 512
+echo "QUEUE DONE $(date -u +%H:%M:%S)" >> $L
+# 4. int8 backbone (round-3 session-3 feature): vs the bf16 rows above
+run python tools/device_bench.py --batch 8 --stem conv --int8 --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 1 --stem conv --int8 --bf16_weights --prefilter 512
+# 5. training-throughput mixed-precision A/B (vs 268.6 frame / 130 clip anchors)
+run python tools/train_bench.py
+run python tools/train_bench.py --bf16
+run python tools/train_bench.py --clip
+run python tools/train_bench.py --clip --bf16
+echo "QUEUE2 DONE $(date -u +%H:%M:%S)" >> $L
