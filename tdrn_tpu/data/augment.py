@@ -63,9 +63,17 @@ def sample_photo(rng: np.random.Generator) -> PhotoParams:
     )
 
 
-def apply_photo(img: Array, p: PhotoParams) -> Array:
-    """Deterministic photometric distortion. img: float32 RGB HWC."""
-    img = img.copy()
+def apply_photo(img: Array, p: PhotoParams, inplace: bool = False) -> Array:
+    """Deterministic photometric distortion. img: float32 RGB HWC.
+
+    The saturation/hue ops run as uint8 LUT gathers on the HSV channels —
+    bitwise-identical to the float formulation (every u8 value maps through
+    the same ``float op -> truncating u8 cast``; tested), but without the two
+    full-image fp32<->u8 round trips. ``inplace=True`` lets a caller that owns
+    ``img`` skip the defensive copy (the host augmentation pipeline is a
+    measured train-throughput bottleneck on 1-core dev hosts).
+    """
+    img = img if inplace else img.copy()
     if p.brightness is not None:
         img += p.brightness
     if p.contrast_first and p.contrast is not None:
@@ -75,17 +83,23 @@ def apply_photo(img: Array, p: PhotoParams) -> Array:
 
         hsv = cv2.cvtColor(
             np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
-        ).astype(np.float32)
+        )
         if p.saturation is not None:
-            hsv[..., 1] = np.clip(hsv[..., 1] * p.saturation, 0, 255)
+            lut = np.clip(
+                np.arange(256, dtype=np.float32) * p.saturation, 0, 255
+            ).astype(np.uint8)
+            hsv[..., 1] = lut[hsv[..., 1]]
         if p.hue is not None:
-            hsv[..., 0] = (hsv[..., 0] + p.hue) % 180
-        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+            lut = ((np.arange(256, dtype=np.float32) + p.hue) % 180).astype(
+                np.uint8
+            )
+            hsv[..., 0] = lut[hsv[..., 0]]
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
     if not p.contrast_first and p.contrast is not None:
         img *= p.contrast
     if p.perm is not None:
         img = img[..., list(p.perm)]
-    return np.clip(img, 0, 255)
+    return np.clip(img, 0, 255, out=img)
 
 
 def photometric_distort(img: Array, rng: np.random.Generator) -> Array:
@@ -112,11 +126,18 @@ def sample_expand(h: int, w: int, rng: np.random.Generator) -> Optional[ExpandPa
 def apply_expand(
     img: Array, boxes: Array, p: ExpandParams, mean: Tuple[float, float, float]
 ) -> Tuple[Array, Array]:
+    import cv2
+
     ratio, left, top = p
     h, w, c = img.shape
-    canvas = np.empty((int(h * ratio), int(w * ratio), c), img.dtype)
-    canvas[...] = mean
-    canvas[int(top) : int(top) + h, int(left) : int(left) + w] = img
+    eh, ew = int(h * ratio), int(w * ratio)
+    il, it = int(left), int(top)
+    # cv2.copyMakeBorder's C fill+copy is ~4x numpy's broadcast fill on the
+    # up-to-16x-area canvas (identical values: constant border + paste).
+    canvas = cv2.copyMakeBorder(
+        img, it, eh - it - h, il, ew - il - w, cv2.BORDER_CONSTANT,
+        value=tuple(float(m) for m in mean),
+    )
     boxes = boxes.copy()
     if len(boxes):
         boxes[:, 0::2] += left
@@ -133,6 +154,40 @@ def expand(
     if p is None:
         return img, boxes
     return apply_expand(img, boxes, p, mean)
+
+
+def apply_expand_crop(
+    img: Array,
+    boxes: Array,
+    labels: Array,
+    ep: ExpandParams,
+    rect: Array,
+    mean: Tuple[float, float, float],
+):
+    """Fused expand+crop: materialize ONLY the crop window of the expanded
+    canvas. Bitwise-identical to ``apply_crop(*apply_expand(...), rect)``
+    (tested) — but the expand ratio is up to 4x per axis, so the full canvas
+    is up to 16x the image while the crop keeps ≤ its own window; skipping
+    the full-canvas fill+copy was the largest term in the measured 16 ms
+    per-sample augmentation cost (the host-side train-throughput bottleneck).
+    """
+    ratio, left, top = ep
+    h, w, c = img.shape
+    x1, y1, x2, y2 = int(rect[0]), int(rect[1]), int(rect[2]), int(rect[3])
+    out = np.empty((y2 - y1, x2 - x1, c), img.dtype)
+    out[...] = mean
+    il, it = int(left), int(top)  # image placement on the virtual canvas
+    oy1, oy2 = max(it, y1), min(it + h, y2)
+    ox1, ox2 = max(il, x1), min(il + w, x2)
+    if oy2 > oy1 and ox2 > ox1:
+        out[oy1 - y1 : oy2 - y1, ox1 - x1 : ox2 - x1] = img[
+            oy1 - it : oy2 - it, ox1 - il : ox2 - il
+        ]
+    eboxes = boxes.copy()
+    if len(eboxes):
+        eboxes[:, 0::2] += left
+        eboxes[:, 1::2] += top
+    return _crop_boxes(out, eboxes, labels, rect)
 
 
 # ---------------------------------------------------------------------------
@@ -159,47 +214,52 @@ def sample_crop_rect(
     if len(boxes) == 0:
         return None
     h, w = shape[0], shape[1]
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2  # (N, 2), trial-invariant
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])  # (N,)
     while True:
         mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
         if mode is None:
             return None
         min_iou = 0.0 if mode == "any" else float(mode)
-        for _ in range(max_trials):
-            cw = rng.uniform(0.3 * w, w)
-            ch = rng.uniform(0.3 * h, h)
-            if not 0.5 <= cw / ch <= 2.0:
-                continue
-            left = rng.uniform(0, w - cw)
-            top = rng.uniform(0, h - ch)
-            rect = np.asarray([left, top, left + cw, top + ch])
-            ious = _iou_1toN(rect, boxes)
-            if ious.min() < min_iou:
-                continue
-            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
-            inside = (
-                (centers[:, 0] > rect[0])
-                & (centers[:, 1] > rect[1])
-                & (centers[:, 0] < rect[2])
-                & (centers[:, 1] < rect[3])
-            )
-            if not inside.any():
-                continue
-            clipped = boxes[inside].copy()
-            clipped[:, :2] = np.maximum(clipped[:, :2], rect[:2]) - rect[:2]
-            clipped[:, 2:] = np.minimum(clipped[:, 2:], rect[2:]) - rect[:2]
-            # Require at least one non-degenerate surviving box (see apply_crop).
-            ok = ((clipped[:, 2] - clipped[:, 0]) >= 2.0) & (
-                (clipped[:, 3] - clipped[:, 1]) >= 2.0
-            )
-            if not ok.any():
-                continue
-            return rect
+        # All max_trials candidate rects at once (the scalar-draw loop was a
+        # measured per-sample hotspot); same distributions and same
+        # first-passing-trial selection semantics as the sequential loop.
+        cw = rng.uniform(0.3 * w, w, max_trials)  # (T,)
+        ch = rng.uniform(0.3 * h, h, max_trials)
+        left = rng.uniform(0, 1, max_trials) * (w - cw)
+        top = rng.uniform(0, 1, max_trials) * (h - ch)
+        rects = np.stack([left, top, left + cw, top + ch], axis=1)  # (T, 4)
+        aspect_ok = (0.5 <= cw / ch) & (cw / ch <= 2.0)
+        # IoU of every rect against every box: (T, N).
+        ix1 = np.maximum(rects[:, None, 0], boxes[None, :, 0])
+        iy1 = np.maximum(rects[:, None, 1], boxes[None, :, 1])
+        ix2 = np.minimum(rects[:, None, 2], boxes[None, :, 2])
+        iy2 = np.minimum(rects[:, None, 3], boxes[None, :, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        r_area = (cw * ch)[:, None]
+        ious = inter / np.maximum(r_area + areas[None] - inter, 1e-12)
+        iou_ok = ious.min(axis=1) >= min_iou
+        inside = (
+            (centers[None, :, 0] > rects[:, None, 0])
+            & (centers[None, :, 1] > rects[:, None, 1])
+            & (centers[None, :, 0] < rects[:, None, 2])
+            & (centers[None, :, 1] < rects[:, None, 3])
+        )  # (T, N)
+        cx1 = np.maximum(boxes[None, :, 0], rects[:, None, 0])
+        cy1 = np.maximum(boxes[None, :, 1], rects[:, None, 1])
+        cx2 = np.minimum(boxes[None, :, 2], rects[:, None, 2])
+        cy2 = np.minimum(boxes[None, :, 3], rects[:, None, 3])
+        nondegen = (cx2 - cx1 >= 2.0) & (cy2 - cy1 >= 2.0)
+        # Require at least one surviving (center-inside AND non-degenerate
+        # after clipping) box, like apply_crop keeps.
+        keep_ok = (inside & nondegen).any(axis=1)
+        passing = np.flatnonzero(aspect_ok & iou_ok & keep_ok)
+        if len(passing):
+            return rects[passing[0]]
 
 
-def apply_crop(img: Array, boxes: Array, labels: Array, rect: Array):
-    """Crop to ``rect``, keeping boxes whose centers fall inside (may keep
-    none — a clip's non-reference frames can legitimately lose all boxes)."""
-    new_img = img[int(rect[1]) : int(rect[3]), int(rect[0]) : int(rect[2])]
+def _crop_boxes(new_img: Array, boxes: Array, labels: Array, rect: Array):
+    """Box-side crop logic for an already-materialized crop window."""
     if len(boxes) == 0:
         return new_img, boxes, labels
     centers = (boxes[:, :2] + boxes[:, 2:]) / 2
@@ -219,6 +279,13 @@ def apply_crop(img: Array, boxes: Array, labels: Array, rect: Array):
         (new_boxes[:, 3] - new_boxes[:, 1]) >= 2.0
     )
     return new_img, new_boxes[ok], new_labels[ok]
+
+
+def apply_crop(img: Array, boxes: Array, labels: Array, rect: Array):
+    """Crop to ``rect``, keeping boxes whose centers fall inside (may keep
+    none — a clip's non-reference frames can legitimately lose all boxes)."""
+    new_img = img[int(rect[1]) : int(rect[3]), int(rect[0]) : int(rect[2])]
+    return _crop_boxes(new_img, boxes, labels, rect)
 
 
 def random_sample_crop(
@@ -309,10 +376,16 @@ class SSDAugmentation:
         labels = np.asarray(labels, np.int32)
 
         if p.photo is not None:
-            img = apply_photo(img, p.photo)
-        if p.expand is not None:
+            img = apply_photo(img, p.photo, inplace=True)  # img is our copy
+        if p.expand is not None and p.crop_rect is not None:
+            # Fused: materialize only the crop window of the expanded canvas
+            # (bitwise-equal to expand-then-crop; see apply_expand_crop).
+            img, boxes, labels = apply_expand_crop(
+                img, boxes, labels, p.expand, p.crop_rect, self.mean
+            )
+        elif p.expand is not None:
             img, boxes = apply_expand(img, boxes, p.expand, self.mean)
-        if p.crop_rect is not None:
+        elif p.crop_rect is not None:
             img, boxes, labels = apply_crop(img, boxes, labels, p.crop_rect)
         if p.mirror:
             img, boxes = apply_mirror(img, boxes)
