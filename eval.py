@@ -45,6 +45,11 @@ def parse_args():
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
                          "for quantifying its mAP neutrality)")
+    ap.add_argument("--calib_percentile", type=float, default=None,
+                    help="with --precision int8: calibrate activation scales "
+                         "at this |x| percentile (e.g. 99.9) instead of the "
+                         "max — the standard PTQ knob when outliers waste "
+                         "the int8 range")
     ap.add_argument("--save_scales", default=None,
                     help="with --precision int8: write the calibrated "
                          "activation scales (json) for offline serving "
@@ -103,7 +108,8 @@ def main():
         )
 
         calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
-        scales = calibrate_act_scales(model, params, calib)
+        scales = calibrate_act_scales(model, params, calib,
+                                      percentile=args.calib_percentile)
         if args.save_scales:
             save_act_scales(args.save_scales, scales)
             print(f"int8 activation scales -> {args.save_scales}")

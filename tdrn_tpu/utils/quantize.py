@@ -46,13 +46,19 @@ VGG_CONV_CHAIN: Sequence[str] = (
 
 
 def calibrate_act_scales(
-    model, variables, frames: Any, headroom: float = 1.0
+    model, variables, frames: Any, headroom: float = 1.0,
+    percentile: float | None = None,
 ) -> Dict[str, float]:
     """Per-conv max|input| from a calibration forward pass.
 
     ``frames``: (B, H, W, 3) PREPROCESSED (mean-subtracted fp32/bf16) frames —
     a handful of representative images is enough; activations beyond the
     calibrated max are clipped at serving time (standard PTQ behavior).
+
+    ``percentile`` (e.g. 99.9) switches the statistic from the per-layer max
+    to that percentile of the activation distribution — the standard PTQ
+    lever when max-calibration's outlier sensitivity wastes the int8 range
+    (finer steps for the bulk of values at the cost of clipping the tail).
     """
     frames = frames[:8]  # capture_intermediates holds EVERY activation alive;
     # 8 frames bound the footprint (and the host fetch) at any input size.
@@ -70,13 +76,18 @@ def calibrate_act_scales(
         for k, v in inter.items()
         if k.startswith("conv")
     }
+    def stat(x):
+        if percentile is None:
+            return float(x.max())
+        return float(np.percentile(x, percentile))
+
     scales: Dict[str, float] = {}
     prev = None
     for name in VGG_CONV_CHAIN:
         if prev is None:
-            m = float(np.abs(np.asarray(frames, np.float32)).max())
+            m = stat(np.abs(np.asarray(frames, np.float32)))
         else:
-            m = float(max(outs[prev].max(), 0.0))  # input is relu(prev out)
+            m = max(stat(np.maximum(outs[prev], 0.0)), 0.0)  # input = relu(prev)
         scales[name] = max(m, 1e-6) * headroom
         prev = name
     return scales

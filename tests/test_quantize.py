@@ -80,6 +80,20 @@ def test_int8_backbone_end_to_end():
     assert qstate is not None
 
 
+def test_percentile_calibration_tightens_scales():
+    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                           width_mult=0.125)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 50)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, None)
+    s_max = calibrate_act_scales(model, params, x)
+    s_p99 = calibrate_act_scales(model, params, x, percentile=99.0)
+    assert set(s_p99) == set(VGG_CONV_CHAIN)
+    # Percentile scales are <= max scales everywhere, strictly on dense inputs.
+    assert all(s_p99[k] <= s_max[k] + 1e-6 for k in s_max)
+    assert s_p99["conv1_1"] < s_max["conv1_1"]
+
+
 def test_scales_roundtrip(tmp_path):
     from tdrn_tpu.utils.quantize import load_act_scales, save_act_scales
 
