@@ -128,6 +128,21 @@ def test_int8_streaming_detector():
         assert np.asarray(out.boxes).shape[0] == 1
 
 
+def test_int8_calibration_on_chunked_model():
+    """apply_int8_backbone on a chunk>1 streaming clone (device_bench --int8
+    --chunk N): calibration internally drops to chunk=1 (review fix)."""
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.125).clone(chunk=2)
+    rng = np.random.RandomState(7)
+    calib = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32) * 30)
+    base = model.clone(chunk=1)
+    params = jax.jit(base.init)(jax.random.PRNGKey(5), calib[:2],
+                                base.zero_state(2))
+    qmodel, qparams = apply_int8_backbone(model, params, calib)
+    assert qmodel.chunk == 2
+    assert qparams["params"]["backbone"]["conv1_1"]["kernel"].dtype == jnp.int8
+
+
 def test_int8_requires_conv_stem():
     model = build_detector(TINY_64, temporal=False, tcb_channels=32,
                            width_mult=0.125, stem="s2d")

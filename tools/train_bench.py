@@ -32,7 +32,8 @@ def main():
                     help="default: voc_320 (frame) / vid_320 (--clip)")
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
-    ap.add_argument("--stem", default="conv", choices=["conv", "s2d"])
+    ap.add_argument("--stem", default="conv",
+                    choices=["conv", "poly", "poly2", "s2d"])
     ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
     ap.add_argument("--clip", action="store_true",
                     help="TBPTT clip mode (temporal model, scan over T)")
