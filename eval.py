@@ -107,6 +107,15 @@ def main():
             save_act_scales,
         )
 
+        if args.calib_percentile is not None and not (
+            50.0 < args.calib_percentile <= 100.0
+        ):
+            # 0.999-style fractions would calibrate near-zero scales and
+            # silently produce garbage mAP; fail at argument level instead.
+            raise SystemExit(
+                f"--calib_percentile {args.calib_percentile}: expected a "
+                "percent in (50, 100], e.g. 99.9"
+            )
         calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
         scales = calibrate_act_scales(model, params, calib,
                                       percentile=args.calib_percentile)

@@ -114,6 +114,16 @@ def photometric_distort(img: Array, rng: np.random.Generator) -> Array:
 ExpandParams = Tuple[float, float, float]  # (ratio, left, top) in pixels
 
 
+def _shift_boxes(boxes: Array, left: float, top: float) -> Array:
+    """Translate boxes into expanded-canvas coordinates (shared by the
+    sequential and fused expand paths so the semantics live in one place)."""
+    boxes = boxes.copy()
+    if len(boxes):
+        boxes[:, 0::2] += left
+        boxes[:, 1::2] += top
+    return boxes
+
+
 def sample_expand(h: int, w: int, rng: np.random.Generator) -> Optional[ExpandParams]:
     if rng.random() < 0.5:
         return None
@@ -138,11 +148,7 @@ def apply_expand(
         img, it, eh - it - h, il, ew - il - w, cv2.BORDER_CONSTANT,
         value=tuple(float(m) for m in mean),
     )
-    boxes = boxes.copy()
-    if len(boxes):
-        boxes[:, 0::2] += left
-        boxes[:, 1::2] += top
-    return canvas, boxes
+    return canvas, _shift_boxes(boxes, left, top)
 
 
 def expand(
@@ -183,11 +189,7 @@ def apply_expand_crop(
         out[oy1 - y1 : oy2 - y1, ox1 - x1 : ox2 - x1] = img[
             oy1 - it : oy2 - it, ox1 - il : ox2 - il
         ]
-    eboxes = boxes.copy()
-    if len(eboxes):
-        eboxes[:, 0::2] += left
-        eboxes[:, 1::2] += top
-    return _crop_boxes(out, eboxes, labels, rect)
+    return _crop_boxes(out, _shift_boxes(boxes, left, top), labels, rect)
 
 
 # ---------------------------------------------------------------------------

@@ -76,18 +76,19 @@ def calibrate_act_scales(
         for k, v in inter.items()
         if k.startswith("conv")
     }
-    def stat(x):
-        if percentile is None:
-            return float(x.max())
-        return float(np.percentile(x, percentile))
-
     scales: Dict[str, float] = {}
     prev = None
     for name in VGG_CONV_CHAIN:
         if prev is None:
-            m = stat(np.abs(np.asarray(frames, np.float32)))
+            a = np.abs(np.asarray(frames, np.float32))
+            m = float(a.max() if percentile is None else np.percentile(a, percentile))
+        elif percentile is None:
+            m = max(float(outs[prev].max()), 0.0)  # input = relu(prev), no copy
         else:
-            m = max(stat(np.maximum(outs[prev], 0.0)), 0.0)  # input = relu(prev)
+            m = max(
+                float(np.percentile(np.maximum(outs[prev], 0.0), percentile)),
+                0.0,
+            )
         scales[name] = max(m, 1e-6) * headroom
         prev = name
     return scales

@@ -52,7 +52,7 @@ def test_photo_lut_matches_float_reference():
         ref = _photo_reference(img, p)
         fast = apply_photo(img, p)
         assert fast.dtype == ref.dtype
-        np.testing.assert_array_equal(fast, ref), p
+        np.testing.assert_array_equal(fast, ref, err_msg=repr(p))
 
 
 def test_photo_inplace_does_not_alias_caller_input():

@@ -22,7 +22,6 @@ run python tools/device_bench.py --batch 1 --stem poly  --bf16_weights --prefilt
 run python tools/device_bench.py --batch 1 --stem poly2 --bf16_weights --prefilter 512
 # 3. Pending fast-profile b8 re-measure under exact-topk default
 run python tools/device_bench.py --batch 8 --stem s2d --cell light --bf16_weights --prefilter 512
-echo "QUEUE DONE $(date -u +%H:%M:%S)" >> $L
 # 4. int8 backbone (round-3 session-3 feature): vs the bf16 rows above
 run python tools/device_bench.py --batch 8 --stem conv --int8 --bf16_weights --prefilter 512
 run python tools/device_bench.py --batch 1 --stem conv --int8 --bf16_weights --prefilter 512
@@ -31,4 +30,4 @@ run python tools/train_bench.py
 run python tools/train_bench.py --bf16
 run python tools/train_bench.py --clip
 run python tools/train_bench.py --clip --bf16
-echo "QUEUE2 DONE $(date -u +%H:%M:%S)" >> $L
+echo "QUEUE DONE $(date -u +%H:%M:%S)" >> $L
