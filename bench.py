@@ -60,6 +60,8 @@ def main():
                          "(utils/quantize.py; calibrated on this bench's "
                          "random frames — perf only, quality gates via "
                          "eval.py --precision int8)")
+    ap.add_argument("--int8_tcb", action="store_true",
+                    help="with --int8: also quantize the TCB pyramid convs")
     args = ap.parse_args()
 
     from tdrn_tpu.utils.compile_cache import enable_compile_cache
@@ -94,7 +96,8 @@ def main():
                 0, 255, (8, cfg.size, cfg.size, 3), dtype=np.uint8
             )), cfg, model.dtype,
         )
-        model, params = apply_int8_backbone(model, params, calib)
+        model, params = apply_int8_backbone(model, params, calib,
+                                            tcb=args.int8_tcb)
 
     det = StreamingDetector(model, params, num_streams=args.batch,
                             prefilter=args.prefilter or None)

@@ -37,14 +37,12 @@ def _build_backbone(
             dtype=dtype, width_mult=width_mult, stem=stem, quant=quant,
             name="backbone",
         )
-    if quant:
-        raise ValueError(f"int8 quant backbone is vgg16-only (got {name})")
     if name == "resnet101":
         from tdrn_tpu.models.resnet import ResNetBackbone
 
         return ResNetBackbone(
             depth=101, dtype=dtype, width_mult=width_mult, norm=norm,
-            name="backbone",
+            quant=quant, name="backbone",
         )
     raise ValueError(f"unknown backbone {name}")
 
@@ -88,6 +86,8 @@ class TDRN(nn.Module):
     # Serving-only int8 backbone (models/layers.QConv): params produced by
     # utils/quantize.quantize_backbone from any fp32/bf16 checkpoint.
     quant: bool = False
+    # Extend int8 to the TCB pyramid convs (quantize with tcb=True).
+    quant_tcb: bool = False
     # Zero-pad the input to this many channels before conv1_1 (0 = off).
     # Perf experiment (exact — the matching kernel channels are zero, see
     # utils/precision.apply_pad_stem): a C=3 stem conv triggers XLA's
@@ -119,7 +119,8 @@ class TDRN(nn.Module):
         )(sources)
 
         feats = TopDownPyramid(
-            len(sources), self.tcb_channels, dtype=self.dtype, name="tcb"
+            len(sources), self.tcb_channels, dtype=self.dtype,
+            quant=self.quant_tcb, name="tcb",
         )(sources)
 
         if self.arm_guided_sampling:

@@ -27,11 +27,28 @@ from typing import Any, List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdrn_tpu.models.layers import conv1x1, conv3x3
+from tdrn_tpu.models.layers import QConv, conv1x1, conv3x3
 
 Dtype = Any
 
 _DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def resnet_conv_chain(depth: int) -> List[str]:
+    """Quantizable-conv keys in dataflow order (utils/quantize.py).
+
+    Paths are relative to ``params["backbone"]``; every stage-0 block carries a
+    ``proj`` shortcut conv (channel expansion and/or stride).
+    """
+    keys = ["stem"]
+    for si, n in enumerate(_DEPTHS[depth], start=1):
+        for bi in range(n):
+            blk = f"stage{si}_{bi}"
+            keys += [f"{blk}/conv1", f"{blk}/conv2", f"{blk}/conv3"]
+            if bi == 0:
+                keys.append(f"{blk}/proj")
+    keys += ["extra1", "extra2"]
+    return keys
 
 
 class FrozenBN(nn.Module):
@@ -64,6 +81,18 @@ class Bottleneck(nn.Module):
     stride: int = 1
     norm: str = "frozen"
     dtype: Dtype = jnp.float32
+    # Serving-only int8 convs (models/layers.QConv; utils/quantize.py). The
+    # norms stay in the compute dtype — XLA fuses them into the conv epilogue,
+    # and keeping them separate lets the same calibration serve both norms.
+    quant: bool = False
+
+    def _conv(self, f, ks, name, stride=1):
+        if self.quant:
+            return QConv(f, (ks, ks), stride=stride, dtype=self.dtype,
+                         name=name)
+        mk = conv3x3 if ks == 3 else conv1x1
+        kw = {"stride": stride} if ks == 3 else {}
+        return mk(f, dtype=self.dtype, name=name, **kw)
 
     @nn.compact
     def __call__(self, x):
@@ -72,16 +101,20 @@ class Bottleneck(nn.Module):
         nrm = lambda name: _make_norm(self.norm, self.dtype, name)
         shortcut = x
         if x.shape[-1] != out_ch or self.stride != 1:
-            shortcut = nn.Conv(
-                out_ch, (1, 1), strides=(self.stride, self.stride),
-                dtype=self.dtype, name="proj",
-            )(x)
+            if self.quant:
+                shortcut = QConv(out_ch, (1, 1), stride=self.stride,
+                                 dtype=self.dtype, name="proj")(x)
+            else:
+                shortcut = nn.Conv(
+                    out_ch, (1, 1), strides=(self.stride, self.stride),
+                    dtype=self.dtype, name="proj",
+                )(x)
             shortcut = nrm("proj_bn")(shortcut)
-        y = conv1x1(f, dtype=self.dtype, name="conv1")(x)
+        y = self._conv(f, 1, "conv1")(x)
         y = nn.relu(nrm("bn1")(y))
-        y = conv3x3(f, stride=self.stride, dtype=self.dtype, name="conv2")(y)
+        y = self._conv(f, 3, "conv2", stride=self.stride)(y)
         y = nn.relu(nrm("bn2")(y))
-        y = conv1x1(out_ch, dtype=self.dtype, name="conv3")(y)
+        y = self._conv(out_ch, 1, "conv3")(y)
         y = nrm("bn3")(y)
         return nn.relu(y + shortcut)
 
@@ -93,16 +126,21 @@ class ResNetBackbone(nn.Module):
     dtype: Dtype = jnp.float32
     width_mult: float = 1.0
     norm: str = "frozen"
+    quant: bool = False  # serving-only int8 convs (utils/quantize.py)
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         blocks = _DEPTHS[self.depth]
         w = lambda c: max(8, int(c * self.width_mult))
         # Stem: 7x7/2 conv + 3x3/2 maxpool -> stride 4.
-        x = nn.Conv(
-            w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            dtype=self.dtype, name="stem",
-        )(x)
+        if self.quant:
+            x = QConv(w(64), (7, 7), stride=2, dtype=self.dtype,
+                      name="stem")(x)
+        else:
+            x = nn.Conv(
+                w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                dtype=self.dtype, name="stem",
+            )(x)
         x = nn.relu(_make_norm(self.norm, self.dtype, "stem_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -113,12 +151,20 @@ class ResNetBackbone(nn.Module):
                 stride = 2 if (bi == 0 and si > 0) else 1
                 x = Bottleneck(
                     f, stride=stride, norm=self.norm, dtype=self.dtype,
-                    name=f"stage{si + 1}_{bi}",
+                    quant=self.quant, name=f"stage{si + 1}_{bi}",
                 )(x)
             if si >= 1:  # C3 (stride 8), C4 (16), C5 (32)
                 sources.append(x)
         # Extra stage -> stride 64 (RefineDet-style).
-        y = nn.relu(conv1x1(w(256), dtype=self.dtype, name="extra1")(x))
-        y = nn.relu(conv3x3(w(512), stride=2, dtype=self.dtype, name="extra2")(y))
+        if self.quant:
+            y = nn.relu(QConv(w(256), (1, 1), dtype=self.dtype,
+                              name="extra1")(x))
+            y = nn.relu(QConv(w(512), (3, 3), stride=2, dtype=self.dtype,
+                              name="extra2")(y))
+        else:
+            y = nn.relu(conv1x1(w(256), dtype=self.dtype, name="extra1")(x))
+            y = nn.relu(
+                conv3x3(w(512), stride=2, dtype=self.dtype, name="extra2")(y)
+            )
         sources.append(y)
         return sources

@@ -17,29 +17,43 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdrn_tpu.models.layers import conv3x3
+from tdrn_tpu.models.layers import QConv, conv3x3
 
 Dtype = Any
 
 
 class TCB(nn.Module):
-    """One transfer-connection block (256-channel output)."""
+    """One transfer-connection block (256-channel output).
+
+    quant=True runs conv1-3 as int8 QConvs (serving-only; see
+    utils/quantize.quantize_backbone — the deconv stays in the compute dtype:
+    it is a 2x2 kernel with a fraction of the convs' FLOPs). The post-add
+    fused tensor is ``sow``-ed so the int8 calibration pass can read conv3's
+    true input range (it is not any submodule's output); sow is a no-op
+    outside capture_intermediates.
+    """
 
     channels: int = 256
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deeper: Optional[jnp.ndarray] = None):
         c = self.channels
-        x = nn.relu(conv3x3(c, dtype=self.dtype, name="conv1")(x))
-        x = conv3x3(c, dtype=self.dtype, name="conv2")(x)
+        if self.quant:
+            conv = lambda name: QConv(c, (3, 3), dtype=self.dtype, name=name)
+        else:
+            conv = lambda name: conv3x3(c, dtype=self.dtype, name=name)
+        x = nn.relu(conv("conv1")(x))
+        x = conv("conv2")(x)
         if deeper is not None:
             up = nn.ConvTranspose(
                 c, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv"
             )(deeper)
             x = x + up
         x = nn.relu(x)
-        x = nn.relu(conv3x3(c, dtype=self.dtype, name="conv3")(x))
+        self.sow("intermediates", "fused", x)
+        x = nn.relu(conv("conv3")(x))
         return x
 
 
@@ -49,6 +63,7 @@ class TopDownPyramid(nn.Module):
     num_scales: int = 4
     channels: int = 256
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, sources: List[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -56,8 +71,7 @@ class TopDownPyramid(nn.Module):
         outs: List[jnp.ndarray] = [None] * self.num_scales  # type: ignore
         deeper = None
         for k in reversed(range(self.num_scales)):
-            deeper = TCB(self.channels, dtype=self.dtype, name=f"tcb{k}")(
-                sources[k], deeper
-            )
+            deeper = TCB(self.channels, dtype=self.dtype, quant=self.quant,
+                         name=f"tcb{k}")(sources[k], deeper)
             outs[k] = deeper
         return outs

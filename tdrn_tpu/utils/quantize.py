@@ -1,4 +1,4 @@
-"""Post-training int8 quantization of the VGG backbone (serving-only).
+"""Post-training int8 quantization of the backbone (serving-only).
 
 The round-3 b8 trace (BENCH.md) shows the step dominated by MXU/tiling-bound
 backbone convs (5.26 of 7.53 ms). The v5e MXU runs s8 x s8 -> s32 at 2x its
@@ -18,6 +18,14 @@ fp32/bf16 checkpoint:
 Quality is gated on the synthetic fidelity harnesses (mAP delta vs the bf16
 profile) before any adoption; like every serving transform the checkpoint on
 disk stays fp32.
+
+Covered backbones: VGG-16 (every conv, ``VGG_CONV_CHAIN``) and ResNet-101
+(stem + every bottleneck conv1/conv2/conv3/proj + the extra stage,
+``models/resnet.resnet_conv_chain``; the frozen-BN/GroupNorm affines stay in
+the compute dtype — XLA fuses them into the conv epilogue, and every conv
+input is still either the frame, a post-ReLU tensor, or a norm output whose
+ReLU follows, so the same static-scale calibration applies). ``tcb=True``
+extends to the TCB pyramid convs for either backbone.
 
 Typical composition (the int8 serving profile)::
 
@@ -47,7 +55,7 @@ VGG_CONV_CHAIN: Sequence[str] = (
 
 def calibrate_act_scales(
     model, variables, frames: Any, headroom: float = 1.0,
-    percentile: float | None = None,
+    percentile: float | None = None, tcb: bool = False,
 ) -> Dict[str, float]:
     """Per-conv max|input| from a calibration forward pass.
 
@@ -59,6 +67,11 @@ def calibrate_act_scales(
     to that percentile of the activation distribution — the standard PTQ
     lever when max-calibration's outlier sensitivity wastes the int8 range
     (finer steps for the bulk of values at the cost of clipping the tail).
+
+    ``tcb=True`` also calibrates the TCB pyramid convs (keys
+    ``tcb{k}/conv{1,2,3}``): conv1 reads the L2Norm outputs (scales 0/1,
+    signed) or the backbone sources (2/3, post-relu); conv2 reads
+    relu(conv1); conv3 reads the sow-ed post-add fused tensor (models/tcb.py).
     """
     frames = frames[:8]  # capture_intermediates holds EVERY activation alive;
     # 8 frames bound the footprint (and the host fetch) at any input size.
@@ -71,48 +84,128 @@ def calibrate_act_scales(
         variables, frames, state, capture_intermediates=True
     )
     inter = mods["intermediates"]["backbone"]
-    outs = {
-        k: np.asarray(v["__call__"][0], np.float32)
-        for k, v in inter.items()
-        if k.startswith("conv")
-    }
+
+    def stat(x, signed=False):
+        if percentile is None:
+            # max(relu(x)) == max(x.max(), 0): no materialized copy needed.
+            m = float(np.abs(x).max()) if signed else float(x.max())
+            return max(m, 0.0)
+        x = np.abs(x) if signed else np.maximum(x, 0.0)
+        return max(float(np.percentile(x, percentile)), 0.0)
+
+    def out(mod):  # a captured submodule's output
+        return np.asarray(inter[mod]["__call__"][0], np.float32)
+
     scales: Dict[str, float] = {}
-    prev = None
-    for name in VGG_CONV_CHAIN:
-        if prev is None:
-            a = np.abs(np.asarray(frames, np.float32))
-            m = float(a.max() if percentile is None else np.percentile(a, percentile))
-        elif percentile is None:
-            m = max(float(outs[prev].max()), 0.0)  # input = relu(prev), no copy
-        else:
-            m = max(
-                float(np.percentile(np.maximum(outs[prev], 0.0), percentile)),
-                0.0,
+    if model.backbone == "vgg16":
+        prev = None
+        for name in VGG_CONV_CHAIN:
+            if prev is None:
+                scales[name] = stat(np.asarray(frames, np.float32), signed=True)
+            else:
+                scales[name] = stat(out(prev))  # input = relu(prev's output)
+            prev = name
+        # TCB conv1 inputs for the two deep (non-L2Norm) scales.
+        deep_src = (lambda: stat(out("conv7")), lambda: stat(out("conv6_2")))
+    elif model.backbone == "resnet101":
+        from tdrn_tpu.models.resnet import _DEPTHS
+
+        scales["stem"] = stat(np.asarray(frames, np.float32), signed=True)
+        # stem_bn's output feeds relu+maxpool (both max-preserving) -> stage1_0
+        prev = stat(out("stem_bn"))
+        blocks = _DEPTHS[101]
+        for si, n in enumerate(blocks, start=1):
+            for bi in range(n):
+                nm = f"stage{si}_{bi}"
+                blk = inter[nm]
+                scales[f"{nm}/conv1"] = prev
+                if bi == 0:  # shortcut conv reads the same block input
+                    scales[f"{nm}/proj"] = prev
+                # conv2/conv3 inputs are relu(bn1/bn2 output)
+                scales[f"{nm}/conv2"] = stat(
+                    np.asarray(blk["bn1"]["__call__"][0], np.float32)
+                )
+                scales[f"{nm}/conv3"] = stat(
+                    np.asarray(blk["bn2"]["__call__"][0], np.float32)
+                )
+                prev = stat(out(nm))  # block output (post-relu)
+        scales["extra1"] = prev  # = C5
+        scales["extra2"] = stat(out("extra1"))  # input = relu(extra1 output)
+        deep_src = (lambda: scales["extra1"],  # C5 feeds tcb2
+                    lambda: stat(out("extra2")))  # relu(extra2) feeds tcb3
+    else:
+        raise ValueError(f"int8 calibration: unknown backbone {model.backbone}")
+    if tcb:
+        root = mods["intermediates"]
+        tcb_inter = root["tcb"]
+        n = len(model.cfg.feature_maps)
+        for k in range(n):
+            blk = tcb_inter[f"tcb{k}"]
+            if k < 2:  # L2Norm-ed shallow scales: signed input
+                src = stat(np.asarray(root[f"l2norm{k}"]["__call__"][0],
+                                      np.float32), signed=True)
+            else:
+                src = deep_src[k - 2]()
+            scales[f"tcb{k}/conv1"] = src
+            scales[f"tcb{k}/conv2"] = stat(
+                np.asarray(blk["conv1"]["__call__"][0], np.float32)
             )
-        scales[name] = max(m, 1e-6) * headroom
-        prev = name
-    return scales
+            scales[f"tcb{k}/conv3"] = stat(np.asarray(blk["fused"][0],
+                                                      np.float32))
+    return {k: max(v, 1e-6) * headroom for k, v in scales.items()}
+
+
+def _quantize_conv(sub: Dict[str, Any], xscale: float) -> Dict[str, Any]:
+    sub = dict(sub)
+    k = np.asarray(sub["kernel"], np.float32)
+    ws = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / 127.0
+    ws = np.maximum(ws, 1e-12)
+    sub["kernel"] = jnp.asarray(
+        np.clip(np.round(k / ws), -127, 127).astype(np.int8)
+    )
+    sub["wscale"] = jnp.asarray(ws, dtype=jnp.float32)
+    sub["xscale"] = jnp.asarray(np.float32(xscale))
+    sub["bias"] = jnp.asarray(np.asarray(sub["bias"], np.float32))
+    return sub
+
+
+_TCB_KEY = r"tcb\d+/conv[123]"
+
+
+def _is_tcb_key(name: str) -> bool:
+    import re
+
+    return re.fullmatch(_TCB_KEY, name) is not None
 
 
 def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
-    """fp32/bf16 backbone conv params -> int8 kernel + wscale + xscale."""
+    """fp32/bf16 conv params -> int8 kernel + wscale + xscale.
+
+    Keys are backbone conv paths relative to ``params["backbone"]`` (VGG
+    ``conv3_1``; ResNet ``stem`` / ``stage2_0/conv1`` / ``extra2``) or TCB
+    convs (``tcb{k}/conv{i}``, quantized under ``params["tcb"]``).
+    """
     frozen = type(variables).__name__ == "FrozenDict"
     plain = dict(variables)
     params = dict(plain["params"])
     backbone = dict(params["backbone"])
+    tcb = dict(params["tcb"]) if "tcb" in params else {}
     for name, xscale in act_scales.items():
-        sub = dict(backbone[name])
-        k = np.asarray(sub["kernel"], np.float32)
-        ws = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / 127.0
-        ws = np.maximum(ws, 1e-12)
-        sub["kernel"] = jnp.asarray(
-            np.clip(np.round(k / ws), -127, 127).astype(np.int8)
-        )
-        sub["wscale"] = jnp.asarray(ws, dtype=jnp.float32)
-        sub["xscale"] = jnp.asarray(np.float32(xscale))
-        sub["bias"] = jnp.asarray(np.asarray(sub["bias"], np.float32))
-        backbone[name] = sub
+        if _is_tcb_key(name):
+            blk_name, conv_name = name.split("/")
+            blk = dict(tcb[blk_name])
+            blk[conv_name] = _quantize_conv(blk[conv_name], xscale)
+            tcb[blk_name] = blk
+        elif "/" in name:  # nested backbone conv (resnet bottleneck)
+            blk_name, conv_name = name.split("/")
+            blk = dict(backbone[blk_name])
+            blk[conv_name] = _quantize_conv(blk[conv_name], xscale)
+            backbone[blk_name] = blk
+        else:
+            backbone[name] = _quantize_conv(backbone[name], xscale)
     params["backbone"] = backbone
+    if tcb:
+        params["tcb"] = tcb
     out = dict(plain)
     out["params"] = params
     if frozen:
@@ -124,7 +217,8 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
 
 def apply_int8_backbone(model, variables, calib_frames: Any = None,
                         headroom: float = 1.0,
-                        act_scales: Dict[str, float] | None = None):
+                        act_scales: Dict[str, float] | None = None,
+                        tcb: bool = False):
     """Calibrate + quantize: returns (quant model, transformed variables).
 
     ``calib_frames`` must be preprocessed like serving inputs (the in-graph
@@ -134,8 +228,11 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
     AFTER the bf16 profile — the quantizer re-derives f32 scales from whatever
     weight dtype it's given.
     """
-    if model.backbone != "vgg16" or model.stem != "conv":
-        raise ValueError("int8 backbone supports the vgg16 conv stem only")
+    if model.backbone == "vgg16":
+        if model.stem != "conv":
+            raise ValueError("int8 vgg16 backbone supports the conv stem only")
+    elif model.backbone != "resnet101":
+        raise ValueError(f"int8 backbone: unsupported {model.backbone!r}")
     if getattr(model, "fold_mean", False):
         # The folded mean taps are ~100x the rgb taps, so a per-output-channel
         # weight scale would crush the rgb taps to a few int8 steps.
@@ -143,9 +240,29 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
     if act_scales is None:
         if calib_frames is None:
             raise ValueError("need calib_frames or act_scales")
-        act_scales = calibrate_act_scales(model, variables, calib_frames, headroom)
-    return (model.clone(quant=True),
+        act_scales = calibrate_act_scales(
+            model, variables, calib_frames, headroom, tcb=tcb
+        )
+    else:
+        tcb = any(_is_tcb_key(k) for k in act_scales)  # file declares scope
+        missing = sorted(set(expected_conv_keys(model)) - set(act_scales))
+        if missing:
+            shown = missing[:5] + (["..."] if len(missing) > 5 else [])
+            raise ValueError(
+                f"act_scales missing convs for backbone "
+                f"{model.backbone!r}: {shown}"
+            )
+    return (model.clone(quant=True, quant_tcb=tcb),
             quantize_backbone_params(variables, act_scales))
+
+
+def expected_conv_keys(model) -> Sequence[str]:
+    """The backbone conv-scale keys this model's int8 profile requires."""
+    if model.backbone == "vgg16":
+        return VGG_CONV_CHAIN
+    from tdrn_tpu.models.resnet import resnet_conv_chain
+
+    return tuple(resnet_conv_chain(101))
 
 
 def save_act_scales(path: str, scales: Dict[str, float]) -> None:
@@ -159,10 +276,21 @@ def save_act_scales(path: str, scales: Dict[str, float]) -> None:
 def load_act_scales(path: str) -> Dict[str, float]:
     import json
 
+    import re
+
     with open(path) as f:
         scales = json.load(f)
-    missing = set(VGG_CONV_CHAIN) - set(scales)
-    extra = set(scales) - set(VGG_CONV_CHAIN)
+    if "stem" in scales:  # resnet family (completeness checked vs the model
+        # in apply_int8_backbone via expected_conv_keys)
+        pat = r"stem|extra[12]|stage\d+_\d+/(conv[123]|proj)|" + _TCB_KEY
+        known = set()
+    else:  # vgg family: the full chain is static, check it here
+        pat = _TCB_KEY
+        known = set(VGG_CONV_CHAIN)
+    missing = known - set(scales)
+    extra = {
+        k for k in set(scales) - known if not re.fullmatch(pat, k)
+    }
     if missing or extra:
         raise ValueError(
             f"scales file {path}: missing convs {sorted(missing)}, "

@@ -128,6 +128,94 @@ def test_int8_streaming_detector():
         assert np.asarray(out.boxes).shape[0] == 1
 
 
+def test_int8_tcb_end_to_end():
+    """tcb=True also quantizes the pyramid convs: int8 kernels under
+    params['tcb'], signed L2Norm-input calibration for the shallow scales,
+    sow-ed fused-input calibration for conv3, outputs within PTQ error."""
+    from tdrn_tpu.utils.quantize import quantize_backbone_params
+
+    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                           width_mult=0.25)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(6), x, None)
+
+    scales = calibrate_act_scales(model, params, x, tcb=True)
+    assert {f"tcb{k}/conv{i}" for k in range(4) for i in (1, 2, 3)} <= set(scales)
+    qmodel, qparams = (model.clone(quant=True, quant_tcb=True),
+                       quantize_backbone_params(params, scales))
+    assert qparams["params"]["tcb"]["tcb0"]["conv1"]["kernel"].dtype == jnp.int8
+    assert "xscale" in qparams["params"]["tcb"]["tcb3"]["conv3"]
+    # deconv stays unquantized
+    assert "xscale" not in qparams["params"]["tcb"]["tcb0"]["deconv"]
+
+    preds, _ = jax.jit(model.apply)(params, x, None)
+    qpreds, _ = jax.jit(qmodel.apply)(qparams, x, None)
+    for a, b in zip(preds, qpreds):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.35, err  # random-init net; looser than backbone-only
+
+
+def test_int8_resnet_backbone():
+    """ResNet-101 int8: full calibration chain (stem + every bottleneck
+    conv/proj + extras), int8 kernels in the nested tree, scales-file
+    round-trip through the resnet validation path, output within PTQ error."""
+    from tdrn_tpu.models.resnet import resnet_conv_chain
+    from tdrn_tpu.utils.quantize import (
+        load_act_scales, quantize_backbone_params, save_act_scales,
+    )
+
+    model = build_detector(TINY_64, backbone="resnet101", temporal=False,
+                           tcb_channels=32, width_mult=0.125)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), x, None)
+
+    scales = calibrate_act_scales(model, params, x)
+    assert set(scales) == set(resnet_conv_chain(101))
+    assert scales["stem"] == pytest.approx(float(jnp.abs(x).max()), rel=1e-6)
+    # block-0 shortcut reads the same input as conv1
+    assert scales["stage2_0/proj"] == scales["stage2_0/conv1"]
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "s.json")
+        save_act_scales(p, scales)
+        loaded = load_act_scales(p)
+    assert loaded.keys() == scales.keys()
+
+    qmodel, qparams = apply_int8_backbone(model, params, act_scales=loaded)
+    bb = qparams["params"]["backbone"]
+    assert bb["stem"]["kernel"].dtype == jnp.int8
+    assert bb["stage1_0"]["proj"]["kernel"].dtype == jnp.int8
+    assert bb["stage3_5"]["conv2"]["kernel"].dtype == jnp.int8
+    assert "proj" not in bb["stage1_1"]  # non-0 blocks have no shortcut conv
+    assert bb["stage1_0"]["bn1"]["scale"].dtype != jnp.int8  # norms untouched
+
+    preds, _ = jax.jit(model.apply)(params, x, None)
+    qpreds, _ = jax.jit(qmodel.apply)(qparams, x, None)
+    for a, b in zip(preds, qpreds):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.35, err  # ~110 serial int8 convs on a random-init net
+
+
+def test_int8_resnet_missing_scales_rejected():
+    """apply_int8_backbone validates loaded scales against the model's
+    expected conv set (a truncated resnet scales file must not silently
+    leave convs fp32)."""
+    model = build_detector(TINY_64, backbone="resnet101", temporal=False,
+                           tcb_channels=32, width_mult=0.125)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), x, None)
+    scales = calibrate_act_scales(model, params, x)
+    scales.pop("stage4_1/conv2")
+    with pytest.raises(ValueError, match="missing convs"):
+        apply_int8_backbone(model, params, act_scales=scales)
+
+
 def test_int8_calibration_on_chunked_model():
     """apply_int8_backbone on a chunk>1 streaming clone (device_bench --int8
     --chunk N): calibration internally drops to chunk=1 (review fix)."""

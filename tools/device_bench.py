@@ -45,6 +45,8 @@ def main():
                          "convs): calibrated on this bench's own random "
                          "frames — perf-only; quality gates via eval.py "
                          "--precision int8 on the fidelity harness")
+    ap.add_argument("--int8_tcb", action="store_true",
+                    help="with --int8: also quantize the TCB pyramid convs")
     ap.add_argument("--bf16_weights", action="store_true",
                     help="resident-bf16 inference profile: cast feature-"
                          "pyramid weights to bf16 once (fp32 heads/detect; "
@@ -121,7 +123,8 @@ def main():
                 0, 255, (min(ch * b, 8), cfg.size, cfg.size, 3), dtype=np.uint8
             )), cfg, model.dtype, model.fold_mean,
         )
-        model, params = apply_int8_backbone(model, params, calib)
+        model, params = apply_int8_backbone(model, params, calib,
+                                            tcb=args.int8_tcb)
     priors = prior_boxes(cfg)
 
     # DISTINCT frame per step: with a loop-invariant frame XLA hoists the whole

@@ -25,6 +25,13 @@ run python tools/device_bench.py --batch 8 --stem s2d --cell light --bf16_weight
 # 4. int8 backbone (round-3 session-3 feature): vs the bf16 rows above
 run python tools/device_bench.py --batch 8 --stem conv --int8 --bf16_weights --prefilter 512
 run python tools/device_bench.py --batch 1 --stem conv --int8 --bf16_weights --prefilter 512
+# 4b. int8 extended to TCB pyramid convs (session-4): vs the --int8 rows
+run python tools/device_bench.py --batch 8 --stem conv --int8 --int8_tcb --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 1 --stem conv --int8 --int8_tcb --bf16_weights --prefilter 512
+# 4c. int8 ResNet-101 @512 (session-4): vs the round-2 fp32 8.0 ms b4 row
+run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --bf16_weights --prefilter 512
+run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --bf16_weights --prefilter 512
+run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --int8_tcb --bf16_weights --prefilter 512
 # 5. training-throughput mixed-precision A/B (vs 268.6 frame / 130 clip anchors)
 run python tools/train_bench.py
 run python tools/train_bench.py --bf16
