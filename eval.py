@@ -35,6 +35,11 @@ def parse_args():
     ap.add_argument("--checkpoint", required=True, help="checkpoint directory")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--temporal", action="store_true", help="VID temporal (snippet-streaming) eval")
+    ap.add_argument("--motion_breakdown", action="store_true",
+                    help="VID only: also report mAP over slow/medium/fast-"
+                         "moving GT (mean track IoU over a +/-10-frame "
+                         "window; the standard VID motion-speed protocol — "
+                         "tdrn_tpu/eval/motion.py)")
     ap.add_argument("--split", default=None, help="VID split (default val) / VOC year:split")
     ap.add_argument("--score_thresh", type=float, default=0.01)
     ap.add_argument("--use_07_metric", action=argparse.BooleanOptionalAction, default=True,
@@ -45,6 +50,9 @@ def parse_args():
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
                          "for quantifying its mAP neutrality)")
+    ap.add_argument("--int8_tcb", action="store_true",
+                    help="with --precision int8: also quantize the TCB "
+                         "pyramid convs (models/tcb.py quant path)")
     ap.add_argument("--calib_percentile", type=float, default=None,
                     help="with --precision int8: calibrate activation scales "
                          "at this |x| percentile (e.g. 99.9) instead of the "
@@ -118,7 +126,8 @@ def main():
             )
         calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
         scales = calibrate_act_scales(model, params, calib,
-                                      percentile=args.calib_percentile)
+                                      percentile=args.calib_percentile,
+                                      tcb=args.int8_tcb)
         if args.save_scales:
             save_act_scales(args.save_scales, scales)
             print(f"int8 activation scales -> {args.save_scales}")
@@ -198,6 +207,21 @@ def main():
     for name in class_names:
         print(f"AP {name}: {aps[name]:.4f}")
     print(f"mAP: {aps['mAP']:.4f}")
+    if args.motion_breakdown:
+        if not is_vid:
+            raise SystemExit("--motion_breakdown needs a VID dataset "
+                             "(motion IoU is defined over track ids)")
+        from tdrn_tpu.eval.motion import motion_gt_views, vid_motion_categories
+
+        cats = vid_motion_categories(
+            args.data_root, split, dataset.snippets, frame_ids=set(all_gt)
+        )
+        for cname, gt_view in motion_gt_views(all_gt, cats):
+            aps_c = evaluate_detections(
+                gt_view, dets_np, class_names,
+                use_07_metric=args.use_07_metric, skip_empty_classes=True,
+            )
+            print(f"mAP({cname}): {aps_c['mAP']:.4f}")
     if args.results_dir:
         write_voc_results_files(args.results_dir, dets_np, class_names)
 

@@ -107,17 +107,30 @@ def evaluate_detections(
     class_names: Sequence[str],
     iou_thresh: float = 0.5,
     use_07_metric: bool = True,
+    skip_empty_classes: bool = False,
 ) -> Dict[str, float]:
-    """Full mAP. all_dets: class_index (0-based object class) -> DetDict."""
+    """Full mAP. all_dets: class_index (0-based object class) -> DetDict.
+
+    skip_empty_classes: average mAP only over classes with at least one
+    non-difficult GT box (classes with none get ``AP = nan``). Used by the
+    VID motion-speed breakdown, where a bin may contain no instances of some
+    classes — the protocol averages over the populated ones.
+    """
     aps = {}
     for ci, cname in enumerate(class_names):
         gt_c = {}
+        npos = 0
         for img_id, (boxes, labels, difficult) in all_gt.items():
             sel = labels == ci
             gt_c[img_id] = (boxes[sel], difficult[sel])
+            npos += int((~difficult[sel]).sum())
+        if skip_empty_classes and npos == 0:
+            aps[cname] = float("nan")
+            continue
         ap, _, _ = eval_class(gt_c, all_dets.get(ci, {}), iou_thresh, use_07_metric)
         aps[cname] = ap
-    aps["mAP"] = float(np.mean([aps[c] for c in class_names]))
+    vals = [aps[c] for c in class_names if not np.isnan(aps[c])]
+    aps["mAP"] = float(np.mean(vals)) if vals else float("nan")
     return aps
 
 
