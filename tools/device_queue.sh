@@ -32,6 +32,8 @@ run python tools/device_bench.py --batch 1 --stem conv --int8 --int8_tcb --bf16_
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --bf16_weights --prefilter 512
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --bf16_weights --prefilter 512
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --int8_tcb --bf16_weights --prefilter 512
+# 4d. int8 quality gate on the HARD (mAP 0.918) model: bf16/int8/int8_tcb deltas
+run python tools/synth_fidelity.py --hard --skip_gen --skip_train --out /tmp/synth_hard --precision_check --prefilter_check
 # 5. training-throughput mixed-precision A/B (vs 268.6 frame / 130 clip anchors)
 run python tools/train_bench.py
 run python tools/train_bench.py --bf16

@@ -237,6 +237,13 @@ def main():
     ap.add_argument("--prefilter_check", action="store_true",
                     help="also eval with --prefilter 512 and report per-"
                          "class AP deltas vs the exact path")
+    ap.add_argument("--precision_check", action="store_true",
+                    help="also eval with the bf16 / int8 / int8+tcb serving "
+                         "profiles and report mAP deltas vs fp32 (most "
+                         "meaningful on --hard, whose non-saturated mAP can "
+                         "show a regression)")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="re-eval an existing --out/weights checkpoint")
     ap.add_argument("--extra_train_args", default="",
                     help="extra train.py flags, e.g. '--stem s2d'")
     args = ap.parse_args()
@@ -268,7 +275,8 @@ def main():
         "--save_folder", weights, "--save_every", str(args.steps),
         "--no_photometric", "--log_every", "50", "--seed", str(args.seed),
     ] + (args.extra_train_args.split() if args.extra_train_args else [])
-    subprocess.run(train_cmd, check=True, cwd=REPO, env=env)
+    if not args.skip_train:
+        subprocess.run(train_cmd, check=True, cwd=REPO, env=env)
 
     def run_eval(extra=()):
         eval_cmd = [
@@ -316,6 +324,18 @@ def main():
         result["prefilter_per_class_delta"] = {
             c: round(aps_pf[c] - aps[c], 6) for c in aps if c in aps_pf
         }
+    if args.precision_check:
+        for prec, extra in (
+            ("bf16", ("--precision", "bf16")),
+            ("int8", ("--precision", "int8")),
+            ("int8_tcb", ("--precision", "int8", "--int8_tcb")),
+        ):
+            map_p, _ = run_eval(extra)
+            result[f"mAP_{prec}"] = map_p
+            result[f"{prec}_delta"] = (
+                None if map_p is None or map_exact is None
+                else round(map_p - map_exact, 6)
+            )
     print(json.dumps(result))
 
 

@@ -150,6 +150,16 @@ def _parse_aps(stdout):
     return aps
 
 
+def _parse_motion(stdout):
+    """mAP(slow)/mAP(medium)/mAP(fast) lines from eval.py --motion_breakdown."""
+    out = {}
+    for line in stdout.splitlines():
+        if line.startswith("mAP(") and "):" in line:
+            cat = line[len("mAP("):line.index(")")]
+            out[cat] = float(line.split(":")[1])
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/synth_vid")
@@ -211,8 +221,9 @@ def main():
 
     ev = [sys.executable, "eval.py", "--dataset", "vid_320",
           "--data_root", data_root, "--split", "val", "--batch_size", "8"]
-    out_t = _run(ev + ["--checkpoint", w_clip, "--temporal"], env)
-    out_f = _run(ev + ["--checkpoint", w_frame], env)
+    out_t = _run(ev + ["--checkpoint", w_clip, "--temporal",
+                       "--motion_breakdown"], env)
+    out_f = _run(ev + ["--checkpoint", w_frame, "--motion_breakdown"], env)
     aps_t, aps_f = _parse_aps(out_t.stdout), _parse_aps(out_f.stdout)
     m = lambda a: float(np.mean([a[c] for c in CLASSES])) if len(a) == len(CLASSES) else None
     result = {
@@ -228,10 +239,19 @@ def main():
         )
     result["staged"] = bool(args.staged)
     result["mixed_frames"] = args.mixed_frames
+    # Motion-speed splits (eval.py --motion_breakdown): on this data the
+    # temporal advantage should concentrate in the occlusion-heavy frames;
+    # the split is the first harness surface for eval/motion.py.
+    result["temporal_motion_mAP"] = _parse_motion(out_t.stdout)
+    result["frame_motion_mAP"] = _parse_motion(out_f.stdout)
     if args.precision_check:
-        for prec in ("bf16", "int8"):
-            out_p = _run(ev + ["--checkpoint", w_clip, "--temporal",
-                               "--precision", prec], env)
+        for prec, flags in (
+            ("bf16", ["--precision", "bf16"]),
+            ("int8", ["--precision", "int8"]),
+            ("int8_tcb", ["--precision", "int8", "--int8_tcb"]),
+        ):
+            out_p = _run(ev + ["--checkpoint", w_clip, "--temporal"] + flags,
+                         env)
             aps_p = _parse_aps(out_p.stdout)
             result[f"temporal_mAP_{prec}"] = m(aps_p)
             if result[f"temporal_mAP_{prec}"] is not None and result["temporal_mAP"] is not None:
