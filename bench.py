@@ -62,6 +62,9 @@ def main():
                          "eval.py --precision int8)")
     ap.add_argument("--int8_tcb", action="store_true",
                     help="with --int8: also quantize the TCB pyramid convs")
+    ap.add_argument("--int8_gru", action="store_true",
+                    help="with --int8: also quantize the temporal-cell convs "
+                         "(needs the temporal model)")
     args = ap.parse_args()
 
     from tdrn_tpu.utils.compile_cache import enable_compile_cache
@@ -97,7 +100,8 @@ def main():
             )), cfg, model.dtype,
         )
         model, params = apply_int8_backbone(model, params, calib,
-                                            tcb=args.int8_tcb)
+                                            tcb=args.int8_tcb,
+                                            gru=args.int8_gru)
 
     det = StreamingDetector(model, params, num_streams=args.batch,
                             prefilter=args.prefilter or None)

@@ -53,6 +53,10 @@ def parse_args():
     ap.add_argument("--int8_tcb", action="store_true",
                     help="with --precision int8: also quantize the TCB "
                          "pyramid convs (models/tcb.py quant path)")
+    ap.add_argument("--int8_gru", action="store_true",
+                    help="with --precision int8 --temporal: also quantize "
+                         "the temporal-cell convs (models/temporal.py; the "
+                         "two largest convs of the default profile)")
     ap.add_argument("--calib_percentile", type=float, default=None,
                     help="with --precision int8: calibrate activation scales "
                          "at this |x| percentile (e.g. 99.9) instead of the "
@@ -124,10 +128,13 @@ def main():
                 f"--calib_percentile {args.calib_percentile}: expected a "
                 "percent in (50, 100], e.g. 99.9"
             )
+        if args.int8_gru and not args.temporal:
+            raise SystemExit("--int8_gru needs --temporal (the frame-mode "
+                             "eval model has no temporal cell)")
         calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
         scales = calibrate_act_scales(model, params, calib,
                                       percentile=args.calib_percentile,
-                                      tcb=args.int8_tcb)
+                                      tcb=args.int8_tcb, gru=args.int8_gru)
         if args.save_scales:
             save_act_scales(args.save_scales, scales)
             print(f"int8 activation scales -> {args.save_scales}")

@@ -88,6 +88,9 @@ class TDRN(nn.Module):
     quant: bool = False
     # Extend int8 to the TCB pyramid convs (quantize with tcb=True).
     quant_tcb: bool = False
+    # Extend int8 to the temporal-cell convs (quantize with gru=True; safe
+    # statically because |h| <= 1 — see models/temporal.ConvGRUCell).
+    quant_gru: bool = False
     # Zero-pad the input to this many channels before conv1_1 (0 = off).
     # Perf experiment (exact — the matching kernel channels are zero, see
     # utils/precision.apply_pad_stem): a C=3 stem conv triggers XLA's
@@ -132,7 +135,7 @@ class TDRN(nn.Module):
         if self.temporal:
             tp = TemporalPropagation(
                 len(feats), self.tcb_channels, cell=self.temporal_cell,
-                dtype=self.dtype, name="temporal",
+                dtype=self.dtype, quant=self.quant_gru, name="temporal",
             )
             if self.chunk > 1:
                 # Frame-major micro-batch: split (chunk*B) back into per-frame

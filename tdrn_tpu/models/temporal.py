@@ -87,12 +87,22 @@ def _identity_depthwise_init(noise: float = 0.1):
 
 
 class ConvGRUCell(nn.Module):
-    """Single-scale convolutional GRU over NHWC features."""
+    """Single-scale convolutional GRU over NHWC features.
+
+    quant=True (serving-only) runs the two 3x3 convs as int8 QConvs — at the
+    40x40 scale they are the model's two largest convolutions (~1/4 of total
+    FLOPs). Static activation scales are SAFE for the recurrence: h' is a
+    convex combination of tanh outputs, so |h| <= 1 always; the conv inputs
+    concat bounded h with the non-negative TCB features whose calibrated max
+    dominates (utils/quantize.py floors the scale at 1.0). The concat inputs
+    are ``sow``-ed for calibration (no submodule emits them).
+    """
 
     channels: int = 256
     dtype: Dtype = jnp.float32
     # Pass-through init (see module comment); False = plain xavier/zeros.
     passthrough_init: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, h):
@@ -105,16 +115,27 @@ class ConvGRUCell(nn.Module):
             if self.passthrough_init
             else nn.initializers.xavier_uniform()
         )
-        xh = jnp.concatenate([x, h], axis=-1)
-        gates = conv3x3(
-            2 * c, dtype=self.dtype, bias_init=gate_bias, name="gates"
-        )(xh)
-        z, r = jnp.split(nn.sigmoid(gates), 2, axis=-1)
-        cand = nn.tanh(
-            conv3x3(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(
-                jnp.concatenate([x, r * h], axis=-1)
+        if self.quant:
+            from tdrn_tpu.models.layers import QConv
+
+            conv = lambda f, name: QConv(f, (3, 3), dtype=self.dtype, name=name)
+        else:
+            conv = lambda f, name, **kw: conv3x3(
+                f, dtype=self.dtype, name=name, **kw
             )
-        )
+        xh = jnp.concatenate([x, h], axis=-1)
+        self.sow("intermediates", "xh", xh)
+        if self.quant:
+            gates = conv(2 * c, "gates")(xh)
+        else:
+            gates = conv(2 * c, "gates", bias_init=gate_bias)(xh)
+        z, r = jnp.split(nn.sigmoid(gates), 2, axis=-1)
+        xrh = jnp.concatenate([x, r * h], axis=-1)
+        self.sow("intermediates", "xrh", xrh)
+        if self.quant:
+            cand = nn.tanh(conv(c, "cand")(xrh))
+        else:
+            cand = nn.tanh(conv(c, "cand", kernel_init=cand_kernel)(xrh))
         h_new = (1.0 - z) * h + z * cand
         return h_new
 
@@ -130,10 +151,14 @@ class LightGRUCell(nn.Module):
     channels: int = 256
     dtype: Dtype = jnp.float32
     passthrough_init: bool = True  # see module comment above
+    # int8 serving: the two channel-mixing 1x1s quantize; the depthwise 3x3
+    # stays in the compute dtype (negligible FLOPs, and QConv has no
+    # feature_group_count).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, h):
-        from tdrn_tpu.models.layers import _KERNEL_INIT, conv1x1
+        from tdrn_tpu.models.layers import _KERNEL_INIT, QConv, conv1x1
 
         c = self.channels
         if self.passthrough_init:
@@ -147,17 +172,24 @@ class LightGRUCell(nn.Module):
             dw_kernel = _KERNEL_INIT
             cand_kernel = _KERNEL_INIT
         xh = jnp.concatenate([x, h], axis=-1)
-        z = nn.sigmoid(
-            conv1x1(c, dtype=self.dtype, bias_init=gate_bias, name="gate")(xh)
-        )
+        self.sow("intermediates", "xh", xh)
+        if self.quant:
+            z = nn.sigmoid(QConv(c, (1, 1), dtype=self.dtype, name="gate")(xh))
+        else:
+            z = nn.sigmoid(
+                conv1x1(c, dtype=self.dtype, bias_init=gate_bias, name="gate")(xh)
+            )
         dw = nn.Conv(
             2 * c, (3, 3),
             feature_group_count=2 * c,
             kernel_init=dw_kernel, dtype=self.dtype, name="dw",
         )(xh)
-        cand = nn.tanh(
-            conv1x1(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(dw)
-        )
+        if self.quant:
+            cand = nn.tanh(QConv(c, (1, 1), dtype=self.dtype, name="cand")(dw))
+        else:
+            cand = nn.tanh(
+                conv1x1(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(dw)
+            )
         return (1.0 - z) * h + z * cand
 
 
@@ -171,6 +203,7 @@ class TemporalPropagation(nn.Module):
     channels: int = 256
     cell: str = "convgru"
     dtype: Dtype = jnp.float32
+    quant: bool = False  # serving-only int8 cell convs (utils/quantize.py)
 
     @nn.compact
     def __call__(
@@ -180,7 +213,10 @@ class TemporalPropagation(nn.Module):
         outs, new_state = [], []
         for k, x in enumerate(feats):
             h = state[k] if state is not None else jnp.zeros_like(x)
-            h_new = cell_cls(self.channels, dtype=self.dtype, name=f"gru{k}")(x, h)
+            h_new = cell_cls(
+                self.channels, dtype=self.dtype, quant=self.quant,
+                name=f"gru{k}",
+            )(x, h)
             outs.append(h_new)
             new_state.append(h_new)
         return outs, new_state

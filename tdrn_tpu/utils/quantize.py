@@ -25,7 +25,9 @@ Covered backbones: VGG-16 (every conv, ``VGG_CONV_CHAIN``) and ResNet-101
 the compute dtype — XLA fuses them into the conv epilogue, and every conv
 input is still either the frame, a post-ReLU tensor, or a norm output whose
 ReLU follows, so the same static-scale calibration applies). ``tcb=True``
-extends to the TCB pyramid convs for either backbone.
+extends to the TCB pyramid convs for either backbone; ``gru=True`` extends
+to the temporal-cell convs (safe statically — the recurrent half of their
+input is tanh-bounded; models/temporal.ConvGRUCell).
 
 Typical composition (the int8 serving profile)::
 
@@ -55,7 +57,7 @@ VGG_CONV_CHAIN: Sequence[str] = (
 
 def calibrate_act_scales(
     model, variables, frames: Any, headroom: float = 1.0,
-    percentile: float | None = None, tcb: bool = False,
+    percentile: float | None = None, tcb: bool = False, gru: bool = False,
 ) -> Dict[str, float]:
     """Per-conv max|input| from a calibration forward pass.
 
@@ -72,6 +74,12 @@ def calibrate_act_scales(
     ``tcb{k}/conv{1,2,3}``): conv1 reads the L2Norm outputs (scales 0/1,
     signed) or the backbone sources (2/3, post-relu); conv2 reads
     relu(conv1); conv3 reads the sow-ed post-add fused tensor (models/tcb.py).
+
+    ``gru=True`` also calibrates the temporal-cell convs (keys
+    ``gru{k}/gates|gate|cand``) from the sow-ed concat inputs
+    (models/temporal.py). The hidden half of the concat is tanh-bounded
+    (|h| <= 1 for every future frame), so the scale floors at 1.0 and the
+    single zero-state calibration step covers the whole recurrence.
     """
     frames = frames[:8]  # capture_intermediates holds EVERY activation alive;
     # 8 frames bound the footprint (and the host fetch) at any input size.
@@ -152,6 +160,24 @@ def calibrate_act_scales(
             )
             scales[f"tcb{k}/conv3"] = stat(np.asarray(blk["fused"][0],
                                                       np.float32))
+    if gru:
+        if not model.temporal:
+            raise ValueError("gru=True needs a temporal model")
+        tinter = mods["intermediates"]["temporal"]
+        for k in range(len(model.cfg.feature_maps)):
+            cell = tinter[f"gru{k}"]
+            xh = stat(np.asarray(cell["xh"][0], np.float32), signed=True)
+            if model.temporal_cell == "convgru":
+                xrh = stat(np.asarray(cell["xrh"][0], np.float32), signed=True)
+                scales[f"gru{k}/gates"] = max(xh, 1.0)
+                scales[f"gru{k}/cand"] = max(xrh, 1.0)
+            else:  # light: gate reads xh; cand reads the (signed) dw output
+                dw = stat(
+                    np.asarray(cell["dw"]["__call__"][0], np.float32),
+                    signed=True,
+                )
+                scales[f"gru{k}/gate"] = max(xh, 1.0)
+                scales[f"gru{k}/cand"] = max(dw, 1.0)
     return {k: max(v, 1e-6) * headroom for k, v in scales.items()}
 
 
@@ -170,12 +196,19 @@ def _quantize_conv(sub: Dict[str, Any], xscale: float) -> Dict[str, Any]:
 
 
 _TCB_KEY = r"tcb\d+/conv[123]"
+_GRU_KEY = r"gru\d+/(gates|gate|cand)"
 
 
 def _is_tcb_key(name: str) -> bool:
     import re
 
     return re.fullmatch(_TCB_KEY, name) is not None
+
+
+def _is_gru_key(name: str) -> bool:
+    import re
+
+    return re.fullmatch(_GRU_KEY, name) is not None
 
 
 def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
@@ -190,12 +223,14 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
     params = dict(plain["params"])
     backbone = dict(params["backbone"])
     tcb = dict(params["tcb"]) if "tcb" in params else {}
+    temporal = dict(params["temporal"]) if "temporal" in params else {}
     for name, xscale in act_scales.items():
-        if _is_tcb_key(name):
+        if _is_tcb_key(name) or _is_gru_key(name):
+            root = tcb if _is_tcb_key(name) else temporal
             blk_name, conv_name = name.split("/")
-            blk = dict(tcb[blk_name])
+            blk = dict(root[blk_name])
             blk[conv_name] = _quantize_conv(blk[conv_name], xscale)
-            tcb[blk_name] = blk
+            root[blk_name] = blk
         elif "/" in name:  # nested backbone conv (resnet bottleneck)
             blk_name, conv_name = name.split("/")
             blk = dict(backbone[blk_name])
@@ -206,6 +241,8 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
     params["backbone"] = backbone
     if tcb:
         params["tcb"] = tcb
+    if temporal:
+        params["temporal"] = temporal
     out = dict(plain)
     out["params"] = params
     if frozen:
@@ -218,7 +255,7 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
 def apply_int8_backbone(model, variables, calib_frames: Any = None,
                         headroom: float = 1.0,
                         act_scales: Dict[str, float] | None = None,
-                        tcb: bool = False):
+                        tcb: bool = False, gru: bool = False):
     """Calibrate + quantize: returns (quant model, transformed variables).
 
     ``calib_frames`` must be preprocessed like serving inputs (the in-graph
@@ -241,10 +278,12 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
         if calib_frames is None:
             raise ValueError("need calib_frames or act_scales")
         act_scales = calibrate_act_scales(
-            model, variables, calib_frames, headroom, tcb=tcb
+            model, variables, calib_frames, headroom, tcb=tcb, gru=gru
         )
     else:
-        tcb = any(_is_tcb_key(k) for k in act_scales)  # file declares scope
+        # The scales file declares its scope.
+        tcb = any(_is_tcb_key(k) for k in act_scales)
+        gru = any(_is_gru_key(k) for k in act_scales)
         missing = sorted(set(expected_conv_keys(model)) - set(act_scales))
         if missing:
             shown = missing[:5] + (["..."] if len(missing) > 5 else [])
@@ -252,7 +291,9 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
                 f"act_scales missing convs for backbone "
                 f"{model.backbone!r}: {shown}"
             )
-    return (model.clone(quant=True, quant_tcb=tcb),
+    if gru and not model.temporal:
+        raise ValueError("gru int8 scales need a temporal model")
+    return (model.clone(quant=True, quant_tcb=tcb, quant_gru=gru),
             quantize_backbone_params(variables, act_scales))
 
 
@@ -282,10 +323,11 @@ def load_act_scales(path: str) -> Dict[str, float]:
         scales = json.load(f)
     if "stem" in scales:  # resnet family (completeness checked vs the model
         # in apply_int8_backbone via expected_conv_keys)
-        pat = r"stem|extra[12]|stage\d+_\d+/(conv[123]|proj)|" + _TCB_KEY
+        pat = (r"stem|extra[12]|stage\d+_\d+/(conv[123]|proj)|"
+               + _TCB_KEY + "|" + _GRU_KEY)
         known = set()
     else:  # vgg family: the full chain is static, check it here
-        pat = _TCB_KEY
+        pat = _TCB_KEY + "|" + _GRU_KEY
         known = set(VGG_CONV_CHAIN)
     missing = known - set(scales)
     extra = {

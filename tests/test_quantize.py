@@ -201,6 +201,37 @@ def test_int8_resnet_backbone():
         assert err < 0.35, err  # ~110 serial int8 convs on a random-init net
 
 
+def test_int8_resnet_with_tcb():
+    """tcb=True on the resnet backbone: deep TCB scales calibrate off the
+    C5 / extra-stage activations (quantize.py deep_src), full key union,
+    quantized tree has int8 kernels in both subtrees."""
+    from tdrn_tpu.models.resnet import resnet_conv_chain
+    from tdrn_tpu.utils.quantize import quantize_backbone_params
+
+    model = build_detector(TINY_64, backbone="resnet101", temporal=False,
+                           tcb_channels=32, width_mult=0.125)
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(5), x, None)
+
+    scales = calibrate_act_scales(model, params, x, tcb=True)
+    want = set(resnet_conv_chain(101)) | {
+        f"tcb{k}/conv{i}" for k in range(4) for i in (1, 2, 3)
+    }
+    assert set(scales) == want
+    qmodel, qparams = (model.clone(quant=True, quant_tcb=True),
+                       quantize_backbone_params(params, scales))
+    assert qparams["params"]["backbone"]["stage2_1"]["conv3"]["kernel"].dtype == jnp.int8
+    assert qparams["params"]["tcb"]["tcb2"]["conv1"]["kernel"].dtype == jnp.int8
+
+    preds, _ = jax.jit(model.apply)(params, x, None)
+    qpreds, _ = jax.jit(qmodel.apply)(qparams, x, None)
+    for a, b in zip(preds, qpreds):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.4, err
+
+
 def test_int8_resnet_missing_scales_rejected():
     """apply_int8_backbone validates loaded scales against the model's
     expected conv set (a truncated resnet scales file must not silently
@@ -214,6 +245,50 @@ def test_int8_resnet_missing_scales_rejected():
     scales.pop("stage4_1/conv2")
     with pytest.raises(ValueError, match="missing convs"):
         apply_int8_backbone(model, params, act_scales=scales)
+
+
+@pytest.mark.parametrize("cell", ["convgru", "light"])
+def test_int8_gru_cells(cell):
+    """gru=True quantizes the temporal-cell convs: sow-ed concat-input
+    calibration (scale floored at 1.0 — |h| <= 1), int8 kernels under
+    params['temporal'], multi-step recurrence stays within PTQ error."""
+    from tdrn_tpu.utils.quantize import quantize_backbone_params
+
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.25, temporal_cell=cell)
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(7), x, model.zero_state(2)
+    )
+
+    scales = calibrate_act_scales(model, params, x, gru=True)
+    gate = "gates" if cell == "convgru" else "gate"
+    assert {f"gru{k}/{gate}" for k in range(4)} <= set(scales)
+    assert {f"gru{k}/cand" for k in range(4)} <= set(scales)
+    assert all(scales[k] >= 1.0 for k in scales if k.startswith("gru"))
+
+    qmodel = model.clone(quant=True, quant_gru=True)
+    qparams = quantize_backbone_params(params, scales)
+    tsub = qparams["params"]["temporal"]["gru0"]
+    assert tsub[gate]["kernel"].dtype == jnp.int8
+    assert tsub["cand"]["kernel"].dtype == jnp.int8
+    if cell == "light":  # depthwise conv stays unquantized
+        assert "xscale" not in tsub["dw"]
+
+    # 3 recurrent steps: quantization error must not blow up through the carry
+    step = jax.jit(model.apply)
+    qstep = jax.jit(qmodel.apply)
+    st, qst = model.zero_state(2), model.zero_state(2)
+    for _ in range(3):
+        preds, st = step(params, x, st)
+        qpreds, qst = qstep(qparams, x, qst)
+    for a, b in zip(preds, qpreds):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.35, (cell, err)
+    for h, qh in zip(st, qst):
+        assert float(np.abs(np.asarray(qh, np.float32)).max()) <= 1.0 + 1e-5
 
 
 def test_int8_calibration_on_chunked_model():

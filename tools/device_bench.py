@@ -47,6 +47,9 @@ def main():
                          "--precision int8 on the fidelity harness")
     ap.add_argument("--int8_tcb", action="store_true",
                     help="with --int8: also quantize the TCB pyramid convs")
+    ap.add_argument("--int8_gru", action="store_true",
+                    help="with --int8: also quantize the temporal-cell convs "
+                         "(needs the temporal model)")
     ap.add_argument("--bf16_weights", action="store_true",
                     help="resident-bf16 inference profile: cast feature-"
                          "pyramid weights to bf16 once (fp32 heads/detect; "
@@ -124,7 +127,8 @@ def main():
             )), cfg, model.dtype, model.fold_mean,
         )
         model, params = apply_int8_backbone(model, params, calib,
-                                            tcb=args.int8_tcb)
+                                            tcb=args.int8_tcb,
+                                            gru=args.int8_gru)
     priors = prior_boxes(cfg)
 
     # DISTINCT frame per step: with a loop-invariant frame XLA hoists the whole

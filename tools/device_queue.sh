@@ -28,6 +28,9 @@ run python tools/device_bench.py --batch 1 --stem conv --int8 --bf16_weights --p
 # 4b. int8 extended to TCB pyramid convs (session-4): vs the --int8 rows
 run python tools/device_bench.py --batch 8 --stem conv --int8 --int8_tcb --bf16_weights --prefilter 512
 run python tools/device_bench.py --batch 1 --stem conv --int8 --int8_tcb --bf16_weights --prefilter 512
+# 4b'. full-int8 pyramid incl. the ConvGRU (the default profile's 2 biggest convs)
+run python tools/device_bench.py --batch 8 --stem conv --int8 --int8_tcb --int8_gru --bf16_weights --prefilter 512
+run python tools/device_bench.py --batch 1 --stem conv --int8 --int8_tcb --int8_gru --bf16_weights --prefilter 512
 # 4c. int8 ResNet-101 @512 (session-4): vs the round-2 fp32 8.0 ms b4 row
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --bf16_weights --prefilter 512
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --bf16_weights --prefilter 512

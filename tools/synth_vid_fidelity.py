@@ -249,6 +249,9 @@ def main():
             ("bf16", ["--precision", "bf16"]),
             ("int8", ["--precision", "int8"]),
             ("int8_tcb", ["--precision", "int8", "--int8_tcb"]),
+            # full-int8 pyramid incl. the recurrent cell — THE quality gate
+            # for GRU quantization (state carried through occlusions)
+            ("int8_full", ["--precision", "int8", "--int8_tcb", "--int8_gru"]),
         ):
             out_p = _run(ev + ["--checkpoint", w_clip, "--temporal"] + flags,
                          env)
