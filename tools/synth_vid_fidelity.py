@@ -69,8 +69,16 @@ class _Obj:
         self.h = int(np.clip(s / np.sqrt(ar) * size, 24, size // 2))
         self.x = rng.uniform(0, size - self.w)
         self.y = rng.uniform(0, size - self.h)
-        self.vx = rng.uniform(2.0, 6.0) * rng.choice([-1, 1])
-        self.vy = rng.uniform(2.0, 6.0) * rng.choice([-1, 1])
+        # Three speed regimes so the motion-IoU eval split (eval/motion.py,
+        # slow > 0.9 / medium / fast < 0.7 mean track IoU over +/-10 frames)
+        # all carry GT: near-static, drifting, and fast movers.
+        speed = {
+            0: lambda: rng.uniform(0.0, 0.1),
+            1: lambda: rng.uniform(0.3, 0.8),
+            2: lambda: rng.uniform(2.0, 6.0),
+        }[int(rng.integers(3))]
+        self.vx = speed() * rng.choice([-1, 1])
+        self.vy = speed() * rng.choice([-1, 1])
         # Occlusion schedule: hidden for `occ_len` frames every `occ_period`.
         self.occ_period = int(rng.integers(8, 13))
         self.occ_len = int(rng.integers(2, 5))
