@@ -89,11 +89,42 @@ def check_compile_cache() -> bool:
     return ok
 
 
+def check_int8_conv() -> bool:
+    """Probe the s8 x s8 -> s32 conv lowering (models/layers.QConv's core
+    op) on this backend: int8 operands with preferred_element_type=int32
+    must produce the exact integer accumulation. If this fails or falls
+    back to float, the --int8 serving profiles are unsafe here."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(-127, 128, (2, 16, 16, 8)).astype(np.int8)
+    k = rng.randint(-127, 128, (3, 3, 8, 16)).astype(np.int8)
+    y = jax.jit(
+        lambda a, b: jax.lax.conv_general_dilated(
+            a, b, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    )(jnp.asarray(x), jnp.asarray(k))
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.int32), jnp.asarray(k, jnp.int32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ok = np.array_equal(np.asarray(y), np.asarray(ref)) and \
+        np.asarray(y).dtype == np.int32
+    print(f"s8xs8->s32 conv on this backend: "
+          f"{'EXACT' if ok else 'MISMATCH — do not serve --int8 here'}")
+    return ok
+
+
 def main():
     import jax
 
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     check_compile_cache()
+    if not check_int8_conv():
+        sys.exit(1)
     failures = check_topk_equivalence()
     if failures:
         print(f"{failures} top-k equivalence failures — approx_topk is NOT "
