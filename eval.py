@@ -46,6 +46,11 @@ def parse_args():
                     help="11-point 07 AP (default) / --no-use_07_metric = continuous AP")
     ap.add_argument("--results_dir", default=None, help="write VOC-format det files")
     ap.add_argument("--max_images", type=int, default=0, help="0 = all")
+    ap.add_argument("--prefilter_recall", type=float, default=None,
+                    help="with --prefilter: anchor-selection recall target "
+                         "< 1.0 switches to the genuinely approximate "
+                         "lax.approx_max_k reduction (quality-gate surface "
+                         "for config.prefilter_recall)")
     ap.add_argument("--prefilter", type=int, default=0,
                     help="anchor-prefilter cap (0 = exact reference-parity "
                          "Detect, the default; >0 = the streaming fast path, "
@@ -174,7 +179,8 @@ def main():
                 model, params, [f for snip in snippets for (_, _, f) in snip]
             )
             det = StreamingDetector(model, params, num_streams=args.batch_size,
-                                    prefilter=args.prefilter or None)
+                                    prefilter=args.prefilter or None,
+                                    prefilter_recall=args.prefilter_recall)
             accum = run_streaming(det, snippets, args.score_thresh)
         else:
             items = []
@@ -188,7 +194,8 @@ def main():
                 all_gt[img_id] = (boxes, labels, np.zeros(len(labels), bool))
                 items.append((img_id, img.shape[:2], prep(img)))
             model, params = maybe_quantize(model, params, [f for _, _, f in items])
-            forward = make_single_image_forward(model, prefilter=args.prefilter or None)
+            forward = make_single_image_forward(model, prefilter=args.prefilter or None,
+                                                prefilter_recall=args.prefilter_recall)
             accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
     else:
         if args.split:
@@ -206,7 +213,8 @@ def main():
             all_gt[img_id] = (boxes, labels, difficult)
             items.append((img_id, img.shape[:2], prep(img)))
         model, params = maybe_quantize(model, params, [f for _, _, f in items])
-        forward = make_single_image_forward(model, prefilter=args.prefilter or None)
+        forward = make_single_image_forward(model, prefilter=args.prefilter or None,
+                                                prefilter_recall=args.prefilter_recall)
         accum = run_batched(forward, params, items, args.batch_size, args.score_thresh)
 
     dets_np = finalize(accum)

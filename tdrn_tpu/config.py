@@ -57,6 +57,17 @@ class DetectorConfig:
     # Detect). Exact whenever fewer than M anchors pass conf_thresh — the
     # overwhelmingly common case; see ops/detection.detect.
     prefilter_anchors: int = 0
+    # Recall target for the image-wide prefilter's (P,) anchor selection.
+    # 1.0 (default) = exact top-M (sort or tie-exact approx_max_k per
+    # ``approx_topk``). < 1.0 switches the selection to the REAL TPU-native
+    # approximate top-k (lax.approx_max_k partial reduction — fast because it
+    # skips the full sort): each of the true top-M anchors is kept with at
+    # least this probability. Bounded blast radius: only which candidates
+    # enter per-class NMS changes (missing anchors score near the 512th-best
+    # anchor's max-class score, far below real detections); the per-class
+    # NMS/sort stays exact. Quality-gate on the fidelity harnesses before
+    # serving (tools/synth_fidelity.py --hard).
+    prefilter_recall: float = 1.0
     # ARM negative-anchor filter threshold (SURVEY.md §2 #19/#20).
     arm_filter_thresh: float = 0.99
     # Pixel means (BGR order in the reference; we store RGB for our RGB pipeline).

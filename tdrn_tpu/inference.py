@@ -47,6 +47,7 @@ class StreamingDetector:
         top_k: Optional[int] = None,
         prefilter: Optional[int] = None,
         chunk: int = 1,
+        prefilter_recall: Optional[float] = None,
     ):
         """prefilter: image-wide anchor cap before per-class NMS for the
         streaming path (cfg.prefilter_anchors; exact whenever fewer anchors
@@ -68,6 +69,12 @@ class StreamingDetector:
         if prefilter is not None:
             self.cfg = dataclasses.replace(
                 model.cfg, prefilter_anchors=int(prefilter)
+            )
+        if prefilter_recall is not None:
+            # < 1.0 = genuinely approximate anchor selection
+            # (config.prefilter_recall; quality-gate before serving).
+            self.cfg = dataclasses.replace(
+                self.cfg, prefilter_recall=float(prefilter_recall)
             )
         self.params = params
         self.num_streams = num_streams
@@ -336,7 +343,8 @@ def make_clip_forward(model: TDRN, top_k: Optional[int] = None):
 
 
 def make_single_image_forward(
-    model: TDRN, top_k: Optional[int] = None, prefilter: Optional[int] = None
+    model: TDRN, top_k: Optional[int] = None, prefilter: Optional[int] = None,
+    prefilter_recall: Optional[float] = None,
 ):
     """Jitted single-image detect (config 1/2 of BASELINE.json)."""
     import dataclasses
@@ -344,6 +352,8 @@ def make_single_image_forward(
     cfg = model.cfg
     if prefilter is not None:
         cfg = dataclasses.replace(cfg, prefilter_anchors=int(prefilter))
+    if prefilter_recall is not None:
+        cfg = dataclasses.replace(cfg, prefilter_recall=float(prefilter_recall))
     k = top_k or cfg.top_k
 
     @jax.jit

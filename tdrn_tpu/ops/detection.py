@@ -60,9 +60,23 @@ def _prefilter(boxes: Array, scores: Array, cfg: DetectorConfig):
     if not m or m >= boxes.shape[1]:
         return boxes, scores
     per_anchor = jnp.max(scores[..., 1:], axis=-1)  # (B, P), bg excluded
-    _, idx = N._top_k(per_anchor, m, cfg.approx_topk)  # (B, M)
+    idx = _prefilter_select(per_anchor, cfg)  # (B, M)
     take = lambda x: jnp.take_along_axis(x, idx[..., None], axis=1)
     return take(boxes), take(scores)
+
+
+def _prefilter_select(per_anchor: Array, cfg: DetectorConfig) -> Array:
+    """Indices of the prefilter's top-M anchors. recall < 1.0 uses the
+    genuinely approximate lax.approx_max_k reduction (see
+    config.prefilter_recall); otherwise the exact selection."""
+    m = cfg.prefilter_anchors
+    if cfg.prefilter_recall < 1.0:
+        _, idx = jax.lax.approx_max_k(
+            per_anchor, m, recall_target=cfg.prefilter_recall
+        )
+        return idx
+    _, idx = N._top_k(per_anchor, m, cfg.approx_topk)
+    return idx
 
 
 def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
@@ -78,9 +92,8 @@ def detect(preds: RawPredictions, priors: Array, cfg: DetectorConfig) -> Array:
         if cfg.prefilter_anchors and cfg.prefilter_anchors < boxes.shape[1]:
             # Class-major variant: max over class rows (bg row pre-zeroed by
             # the kernel), gather anchors on the last axis — no transpose.
-            m = cfg.prefilter_anchors
             per_anchor = jnp.max(scores_cm, axis=1)  # (B, P)
-            _, idx = N._top_k(per_anchor, m, cfg.approx_topk)
+            idx = _prefilter_select(per_anchor, cfg)
             boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
             scores_cm = jnp.take_along_axis(
                 scores_cm, idx[:, None, :], axis=2

@@ -110,3 +110,33 @@ def test_prefilter_dense_well_formed():
     assert (out[..., 0] >= 0).all() and (out[..., 0] <= 1).all()
     # background row empty
     assert (out[:, 0] == 0).all()
+
+
+def test_prefilter_recall_knob():
+    """config.prefilter_recall: 1.0 is bit-identical to the default exact
+    selection; < 1.0 compiles the approximate lax.approx_max_k path and
+    yields well-formed detections (its recall/mAP is gated on-device via
+    the fidelity harnesses, not here — the CPU lowering may fall back to
+    an exact sort)."""
+    priors = prior_boxes(TINY_64)
+    p = priors.shape[0]
+    rng = np.random.default_rng(7)
+    preds = RawPredictions(
+        jnp.asarray(rng.normal(size=(2, p, 4)).astype("f4") * 0.3),
+        jnp.asarray(rng.normal(size=(2, p, 2)).astype("f4")),
+        jnp.asarray(rng.normal(size=(2, p, 4)).astype("f4") * 0.3),
+        jnp.asarray(rng.normal(size=(2, p, TINY_64.num_classes)).astype("f4") * 3),
+    )
+    base = dataclasses.replace(TINY_64, prefilter_anchors=64)
+    exact = np.asarray(detect(preds, priors, base))
+    same = np.asarray(
+        detect(preds, priors, dataclasses.replace(base, prefilter_recall=1.0))
+    )
+    np.testing.assert_array_equal(exact, same)
+
+    approx = np.asarray(
+        detect(preds, priors, dataclasses.replace(base, prefilter_recall=0.9))
+    )
+    assert approx.shape == exact.shape
+    assert np.isfinite(approx).all()
+    assert (approx[:, 0] == 0).all()  # background row stays empty

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--no_temporal", action="store_true")
     ap.add_argument("--fused_cascade", action="store_true",
                     help="Pallas ARM->ODM cascade (ops/cascade_pallas.py)")
+    ap.add_argument("--prefilter_recall", type=float, default=None,
+                    help="with --prefilter: < 1.0 = approximate anchor "
+                         "selection (lax.approx_max_k partial reduction)")
     ap.add_argument("--prefilter", type=int, default=0,
                     help="image-wide anchor cap before per-class NMS (0=off)")
     ap.add_argument("--int8", action="store_true",
@@ -84,7 +87,8 @@ def main():
     from tdrn_tpu.ops.priors import prior_boxes
 
     cfg = get_config(args.config)
-    if args.fused_cascade or args.prefilter or args.approx_topk is not None:
+    if (args.fused_cascade or args.prefilter or args.approx_topk is not None
+            or args.prefilter_recall is not None):
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -92,6 +96,9 @@ def main():
             prefilter_anchors=args.prefilter,
             approx_topk=(cfg.approx_topk if args.approx_topk is None
                          else args.approx_topk),
+            prefilter_recall=(cfg.prefilter_recall
+                              if args.prefilter_recall is None
+                              else args.prefilter_recall),
         )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_detector(

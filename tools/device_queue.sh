@@ -37,6 +37,11 @@ run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4
 run python tools/device_bench.py --config vid_512 --backbone resnet101 --batch 4 --int8 --int8_tcb --bf16_weights --prefilter 512
 # 4d. int8 quality gate on the HARD (mAP 0.918) model: bf16/int8/int8_tcb deltas
 run python tools/synth_fidelity.py --hard --skip_gen --skip_train --out /tmp/synth_hard --precision_check --prefilter_check
+# 4e. approximate prefilter selection (config.prefilter_recall < 1.0): perf at
+# b1 (the (P,) sort is ~0.15 ms there) + mAP delta on the hard model
+run python tools/device_bench.py --batch 1 --stem conv --bf16_weights --prefilter 512 --prefilter_recall 0.95
+run python tools/device_bench.py --batch 8 --stem conv --bf16_weights --prefilter 512 --prefilter_recall 0.95
+run python eval.py --dataset voc_320 --data_root /tmp/synth_hard/data --checkpoint /tmp/synth_hard/weights --split 2007:test --batch_size 8 --prefilter 512 --prefilter_recall 0.95
 # 5. training-throughput mixed-precision A/B (vs 268.6 frame / 130 clip anchors)
 run python tools/train_bench.py
 run python tools/train_bench.py --bf16
