@@ -104,7 +104,12 @@ def main():
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                self._json(200, {"ok": True, "steps": server.steps, "frames": server.frames, "prefilter_overflow_frames": server.overflow_frames})
+                self._json(200, {
+                    "ok": True, "steps": server.steps,
+                    "frames": server.frames,
+                    "prefilter_overflow_frames": server.overflow_frames,
+                    "latency": server.latency.snapshot(),
+                })
             else:
                 self._json(404, {"error": "not found"})
 

@@ -31,6 +31,36 @@ class _Pending:
         self.result: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
 
+class LatencyStats:
+    """Ring of the last N request latencies -> percentile snapshot.
+
+    Observability parity with production serving stacks: /healthz reports
+    p50/p90/p99 end-to-end request latency (enqueue -> result ready, i.e.
+    including the coalescing window and any queueing, not just device time).
+    """
+
+    def __init__(self, cap: int = 2048):
+        self._lat: List[float] = []
+        self._cap = cap
+        self._lock = threading.Lock()
+
+    def record(self, seconds: float):
+        with self._lock:
+            self._lat.append(seconds)
+            if len(self._lat) > self._cap:
+                del self._lat[: len(self._lat) - self._cap]
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            lat = list(self._lat)
+        if not lat:
+            return {"n": 0}
+        a = np.sort(np.asarray(lat, np.float64)) * 1e3
+        q = lambda p: round(float(a[min(len(a) - 1, int(p * len(a)))]), 3)
+        return {"n": len(a), "p50_ms": q(0.5), "p90_ms": q(0.9),
+                "p99_ms": q(0.99), "max_ms": round(float(a[-1]), 3)}
+
+
 class InferenceServer:
     """Micro-batching scheduler over a StreamingDetector."""
 
@@ -60,6 +90,7 @@ class InferenceServer:
         # Frames where the anchor-prefilter exactness precondition failed
         # (ops/detection.prefilter_overflow); 0 when the exact path is active.
         self.overflow_frames = 0
+        self.latency = LatencyStats()
         # Warm up the compiled step BEFORE starting the dispatcher so the
         # first client request doesn't pay (or time out on) the jit compile.
         zeros = np.zeros((self.lanes, self.size, self.size, 3), np.uint8)
@@ -86,12 +117,14 @@ class InferenceServer:
 
             frame_u8 = cv2.resize(frame_u8, (self.size, self.size))
         req = _Pending(frame_u8.astype(np.uint8))
+        t0 = time.monotonic()
         with self._lock:
             lane = self._assign_lane(stream_id)
             self._queues[lane].append(req)
         self._wakeup.set()
         if not req.event.wait(timeout):
             raise TimeoutError(f"inference timed out for stream {stream_id}")
+        self.latency.record(time.monotonic() - t0)
         if req.result is None:
             raise RuntimeError(
                 f"stream {stream_id} was evicted under lane pressure before "
@@ -111,6 +144,7 @@ class InferenceServer:
             import cv2
 
             frame_u8 = cv2.resize(frame_u8, (self.size, self.size))
+        t0 = time.monotonic()
         with self._lock:
             lane = self._assign_lane(stream_id)
         frames = np.zeros((self.lanes, self.size, self.size, 3), np.uint8)
@@ -122,6 +156,7 @@ class InferenceServer:
         self.frames += 1
         if out.prefilter_overflow is not None:
             self.overflow_frames += int(np.asarray(out.prefilter_overflow)[lane])
+        self.latency.record(time.monotonic() - t0)
         return (
             np.asarray(out.boxes)[lane],
             np.asarray(out.scores)[lane],

@@ -153,3 +153,34 @@ class TestSubmitSync:
             np.testing.assert_allclose(a2[1], np.asarray(r2.scores)[0], atol=1e-5)
         finally:
             srv.close()
+
+
+class TestLatencyStats:
+    def test_percentiles(self):
+        from tdrn_tpu.serving import LatencyStats
+
+        st = LatencyStats(cap=100)
+        assert st.snapshot() == {"n": 0}
+        for ms in range(1, 101):  # 1..100 ms
+            st.record(ms / 1e3)
+        snap = st.snapshot()
+        assert snap["n"] == 100
+        assert 50 <= snap["p50_ms"] <= 52
+        assert 90 <= snap["p90_ms"] <= 92
+        assert 99 <= snap["p99_ms"] <= 100
+        assert snap["max_ms"] == 100.0
+        for ms in range(200, 260):  # ring: old entries fall out
+            st.record(ms / 1e3)
+        assert st.snapshot()["n"] == 100
+
+    def test_server_records_latency(self, model_and_params):
+        model, params = model_and_params
+        srv = make_server(model, params, lanes=2)
+        try:
+            f = np.random.RandomState(5).randint(0, 255, (64, 64, 3), np.uint8)
+            srv.submit_sync("s", f)
+            srv.submit("s", f)
+            snap = srv.latency.snapshot()
+            assert snap["n"] == 2 and snap["p50_ms"] > 0
+        finally:
+            srv.close()
