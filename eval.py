@@ -67,6 +67,12 @@ def parse_args():
                          "at this |x| percentile (e.g. 99.9) instead of the "
                          "max — the standard PTQ knob when outliers waste "
                          "the int8 range")
+    ap.add_argument("--int8_scales", default=None,
+                    help="with --precision int8: LOAD activation scales from "
+                         "this json instead of calibrating on the eval set — "
+                         "evaluates the exact served configuration (and the "
+                         "required path for a --qat checkpoint, which was "
+                         "fine-tuned for specific scales)")
     ap.add_argument("--save_scales", default=None,
                     help="with --precision int8: write the calibrated "
                          "activation scales (json) for offline serving "
@@ -136,15 +142,22 @@ def main():
         if args.int8_gru and not args.temporal:
             raise SystemExit("--int8_gru needs --temporal (the frame-mode "
                              "eval model has no temporal cell)")
-        calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
-        scales = calibrate_act_scales(model, params, calib,
-                                      percentile=args.calib_percentile,
-                                      tcb=args.int8_tcb, gru=args.int8_gru)
+        if args.int8_scales:
+            from tdrn_tpu.utils.quantize import load_act_scales
+
+            scales = load_act_scales(args.int8_scales)
+            src = args.int8_scales
+        else:
+            calib = preprocess_batch(np.stack(frames_u8[:8]), cfg, model.dtype)
+            scales = calibrate_act_scales(model, params, calib,
+                                          percentile=args.calib_percentile,
+                                          tcb=args.int8_tcb, gru=args.int8_gru)
+            src = f"{min(len(frames_u8), 8)} eval frames"
         if args.save_scales:
             save_act_scales(args.save_scales, scales)
             print(f"int8 activation scales -> {args.save_scales}")
         model, params = apply_int8_backbone(model, params, act_scales=scales)
-        print(f"int8 backbone: calibrated on {min(len(frames_u8), 8)} frames")
+        print(f"int8 backbone: scales from {src}")
         return model, params
     is_vid = cfg.name.startswith("vid")
     class_names = VID_CLASSES if is_vid else VOC_CLASSES

@@ -28,23 +28,39 @@ Dtype = Any
 
 def _build_backbone(
     name: str, dtype, width_mult: float = 1.0, stem: str = "conv",
-    norm: str = "frozen", quant: bool = False,
+    norm: str = "frozen", quant: bool = False, qat_scales=None,
 ):
     if name == "vgg16":
         from tdrn_tpu.models.vgg import VGG16Reduced
 
         return VGG16Reduced(
             dtype=dtype, width_mult=width_mult, stem=stem, quant=quant,
-            name="backbone",
+            qat_scales=qat_scales, name="backbone",
         )
     if name == "resnet101":
         from tdrn_tpu.models.resnet import ResNetBackbone
 
         return ResNetBackbone(
             depth=101, dtype=dtype, width_mult=width_mult, norm=norm,
-            quant=quant, name="backbone",
+            quant=quant, qat_scales=qat_scales, name="backbone",
         )
     raise ValueError(f"unknown backbone {name}")
+
+
+def split_qat_scales(qat_scales):
+    """Split ((key, xscale), ...) into (backbone, tcb, gru) groups by the
+    utils/quantize.py key convention ("tcb{k}/..." / "gru{k}/..." prefixes;
+    everything else is a backbone conv)."""
+    backbone, tcb, gru = [], [], []
+    for k, v in qat_scales:
+        blk = k.split("/", 1)[0]
+        if blk.startswith("tcb") and blk[3:].isdigit():
+            tcb.append((k, v))
+        elif blk.startswith("gru") and blk[3:].isdigit():
+            gru.append((k, v))
+        else:
+            backbone.append((k, v))
+    return tuple(backbone), tuple(tcb), tuple(gru)
 
 
 class TDRN(nn.Module):
@@ -91,6 +107,14 @@ class TDRN(nn.Module):
     # Extend int8 to the temporal-cell convs (quantize with gru=True; safe
     # statically because |h| <= 1 — see models/temporal.ConvGRUCell).
     quant_gru: bool = False
+    # QAT fine-tuning (train-only): ((conv_key, xscale), ...) — the convs the
+    # int8 serving profile quantizes run fake-quantized (models/layers.FQConv,
+    # straight-through gradients) on the SAME calibrated grids, so a QAT
+    # checkpoint serves int8 with minimal PTQ delta. Keys follow
+    # utils/quantize.py (backbone names, "tcb{k}/conv{i}", "gru{k}/<conv>");
+    # which subsystems fake-quantize is determined by which keys are present.
+    # Param tree is UNCHANGED (fp32 masters) — mutually exclusive with quant.
+    qat_scales: Any = None
     # Zero-pad the input to this many channels before conv1_1 (0 = off).
     # Perf experiment (exact — the matching kernel channels are zero, see
     # utils/precision.apply_pad_stem): a C=3 stem conv triggers XLA's
@@ -107,9 +131,13 @@ class TDRN(nn.Module):
         cfg = self.cfg
         if self.pad_stem and x.shape[-1] < self.pad_stem:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, self.pad_stem - x.shape[-1])])
+        qat_backbone = qat_tcb = qat_gru = None
+        if self.qat_scales:
+            assert not self.quant, "qat_scales and quant are mutually exclusive"
+            qat_backbone, qat_tcb, qat_gru = split_qat_scales(self.qat_scales)
         sources = _build_backbone(
             self.backbone, self.dtype, self.width_mult, self.stem,
-            self.backbone_norm, self.quant,
+            self.backbone_norm, self.quant, qat_backbone,
         )(x)
         assert len(sources) == len(cfg.feature_maps)
         # L2Norm the two shallow scales (reference inits: 10 and 8).
@@ -123,7 +151,7 @@ class TDRN(nn.Module):
 
         feats = TopDownPyramid(
             len(sources), self.tcb_channels, dtype=self.dtype,
-            quant=self.quant_tcb, name="tcb",
+            quant=self.quant_tcb, qat_scales=qat_tcb, name="tcb",
         )(sources)
 
         if self.arm_guided_sampling:
@@ -135,7 +163,8 @@ class TDRN(nn.Module):
         if self.temporal:
             tp = TemporalPropagation(
                 len(feats), self.tcb_channels, cell=self.temporal_cell,
-                dtype=self.dtype, quant=self.quant_gru, name="temporal",
+                dtype=self.dtype, quant=self.quant_gru, qat_scales=qat_gru,
+                name="temporal",
             )
             if self.chunk > 1:
                 # Frame-major micro-batch: split (chunk*B) back into per-frame

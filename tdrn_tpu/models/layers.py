@@ -68,6 +68,85 @@ def conv1x1(
     )
 
 
+def fake_quant_act(x, xscale: float):
+    """Straight-through fake-quant of activations to QConv's int8 grid.
+
+    Forward value = dequantize(quantize(x)) with the STATIC calibrated scale
+    ``xscale`` (max|input|, utils/quantize.calibrate_act_scales) — exactly the
+    serving-time QConv input grid. Backward = identity (STE): the round/clip
+    is bypassed by ``x + stop_gradient(q - x)`` so gradients reach the fp32
+    master weights upstream.
+    """
+    x32 = x.astype(jnp.float32)
+    q = jnp.clip(jnp.round(x32 * (127.0 / xscale)), -127.0, 127.0) * (
+        xscale / 127.0
+    )
+    return (x32 + jax.lax.stop_gradient(q - x32)).astype(x.dtype)
+
+
+def fake_quant_kernel(k):
+    """STE fake-quant of a conv kernel, symmetric per-OUTPUT-channel.
+
+    Mirrors utils/quantize._quantize_conv: step = max|w|/127 over each output
+    channel's taps. The step itself is data-derived but sits inside the
+    stop_gradient, so the backward is the plain identity on ``k``.
+    """
+    k32 = k.astype(jnp.float32)
+    ws = jnp.maximum(
+        jnp.max(jnp.abs(k32), axis=(0, 1, 2), keepdims=True), 1e-12
+    ) / 127.0
+    q = jnp.clip(jnp.round(k32 / ws), -127.0, 127.0) * ws
+    return (k32 + jax.lax.stop_gradient(q - k32)).astype(k.dtype)
+
+
+class FQConv(nn.Module):
+    """Fake-quantized conv for QAT fine-tuning (train-time twin of QConv).
+
+    Parameter tree is IDENTICAL to ``nn.Conv`` (fp32 master ``kernel`` +
+    ``bias``) — a QAT checkpoint is a plain checkpoint: it restores into any
+    profile, and the int8 serving path (utils/quantize.apply_int8_backbone
+    with the SAME scales file) quantizes it exactly as trained. The forward
+    simulates QConv's numerics — input snapped to the static-``xscale`` int8
+    grid, kernel to the per-out-channel grid — in fp32 elementwise math, with
+    straight-through gradients (round/clip backward = identity). The conv
+    itself accumulates in the compute dtype rather than int32; the grids
+    match, so train-time activations track serving within accumulation noise.
+
+    ``xscale`` is a STATIC attribute (from the calibration json), not a param:
+    checkpoints stay scale-free and the quantization stays a fused constant
+    elementwise pass, exactly like serving.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    stride: int = 1
+    dilation: int = 1
+    xscale: float = 1.0
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = _KERNEL_INIT
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        k = self.param("kernel", self.kernel_init, (kh, kw, cin, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        xq = fake_quant_act(x, float(self.xscale)).astype(self.dtype)
+        kq = fake_quant_kernel(k).astype(self.dtype)
+        d = self.dilation
+        pad = (d * (kh - 1)) // 2, (d * (kw - 1)) // 2
+        y = jax.lax.conv_general_dilated(
+            xq,
+            kq,
+            (self.stride, self.stride),
+            ((pad[0], pad[0]), (pad[1], pad[1])),
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class QConv(nn.Module):
     """int8-quantized conv (serving-only, SURVEY.md §6 "beat on perf" row).
 

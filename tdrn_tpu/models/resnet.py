@@ -27,7 +27,7 @@ from typing import Any, List, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdrn_tpu.models.layers import QConv, conv1x1, conv3x3
+from tdrn_tpu.models.layers import FQConv, QConv, conv1x1, conv3x3
 
 Dtype = Any
 
@@ -85,11 +85,18 @@ class Bottleneck(nn.Module):
     # norms stay in the compute dtype — XLA fuses them into the conv epilogue,
     # and keeping them separate lets the same calibration serve both norms.
     quant: bool = False
+    # QAT fine-tuning: ((local_name, xscale), ...) for conv1/2/3[/proj]
+    # (models/layers.FQConv; fp32 masters, straight-through gradients).
+    qat_scales: Any = None
 
     def _conv(self, f, ks, name, stride=1):
         if self.quant:
             return QConv(f, (ks, ks), stride=stride, dtype=self.dtype,
                          name=name)
+        if self.qat_scales:
+            return FQConv(f, (ks, ks), stride=stride,
+                          xscale=dict(self.qat_scales)[name],
+                          dtype=self.dtype, name=name)
         mk = conv3x3 if ks == 3 else conv1x1
         kw = {"stride": stride} if ks == 3 else {}
         return mk(f, dtype=self.dtype, name=name, **kw)
@@ -104,6 +111,10 @@ class Bottleneck(nn.Module):
             if self.quant:
                 shortcut = QConv(out_ch, (1, 1), stride=self.stride,
                                  dtype=self.dtype, name="proj")(x)
+            elif self.qat_scales:
+                shortcut = FQConv(out_ch, (1, 1), stride=self.stride,
+                                  xscale=dict(self.qat_scales)["proj"],
+                                  dtype=self.dtype, name="proj")(x)
             else:
                 shortcut = nn.Conv(
                     out_ch, (1, 1), strides=(self.stride, self.stride),
@@ -127,15 +138,22 @@ class ResNetBackbone(nn.Module):
     width_mult: float = 1.0
     norm: str = "frozen"
     quant: bool = False  # serving-only int8 convs (utils/quantize.py)
+    # QAT fine-tuning: ((key, xscale), ...) with utils/quantize.py key names
+    # ("stem", "stage{s}_{b}/conv{i}|proj", "extra{1,2}").
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         blocks = _DEPTHS[self.depth]
         w = lambda c: max(8, int(c * self.width_mult))
+        qs = dict(self.qat_scales) if self.qat_scales else None
         # Stem: 7x7/2 conv + 3x3/2 maxpool -> stride 4.
         if self.quant:
             x = QConv(w(64), (7, 7), stride=2, dtype=self.dtype,
                       name="stem")(x)
+        elif qs:
+            x = FQConv(w(64), (7, 7), stride=2, xscale=qs["stem"],
+                       dtype=self.dtype, name="stem")(x)
         else:
             x = nn.Conv(
                 w(64), (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
@@ -149,9 +167,17 @@ class ResNetBackbone(nn.Module):
         for si, (n, f) in enumerate(zip(blocks, widths)):
             for bi in range(n):
                 stride = 2 if (bi == 0 and si > 0) else 1
+                blk = f"stage{si + 1}_{bi}"
+                blk_qs = None
+                if qs:
+                    pre = blk + "/"
+                    blk_qs = tuple(
+                        (k[len(pre):], v) for k, v in qs.items()
+                        if k.startswith(pre)
+                    )
                 x = Bottleneck(
                     f, stride=stride, norm=self.norm, dtype=self.dtype,
-                    quant=self.quant, name=f"stage{si + 1}_{bi}",
+                    quant=self.quant, qat_scales=blk_qs, name=blk,
                 )(x)
             if si >= 1:  # C3 (stride 8), C4 (16), C5 (32)
                 sources.append(x)
@@ -161,6 +187,11 @@ class ResNetBackbone(nn.Module):
                               name="extra1")(x))
             y = nn.relu(QConv(w(512), (3, 3), stride=2, dtype=self.dtype,
                               name="extra2")(y))
+        elif qs:
+            y = nn.relu(FQConv(w(256), (1, 1), xscale=qs["extra1"],
+                               dtype=self.dtype, name="extra1")(x))
+            y = nn.relu(FQConv(w(512), (3, 3), stride=2, xscale=qs["extra2"],
+                               dtype=self.dtype, name="extra2")(y))
         else:
             y = nn.relu(conv1x1(w(256), dtype=self.dtype, name="extra1")(x))
             y = nn.relu(

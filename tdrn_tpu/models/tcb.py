@@ -17,7 +17,7 @@ from typing import Any, List, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdrn_tpu.models.layers import QConv, conv3x3
+from tdrn_tpu.models.layers import FQConv, QConv, conv3x3
 
 Dtype = Any
 
@@ -36,12 +36,18 @@ class TCB(nn.Module):
     channels: int = 256
     dtype: Dtype = jnp.float32
     quant: bool = False
+    # QAT: ((local_name, xscale), ...) for conv1/conv2/conv3 (FQConv).
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, x, deeper: Optional[jnp.ndarray] = None):
         c = self.channels
         if self.quant:
             conv = lambda name: QConv(c, (3, 3), dtype=self.dtype, name=name)
+        elif self.qat_scales:
+            qs = dict(self.qat_scales)
+            conv = lambda name: FQConv(c, (3, 3), xscale=qs[name],
+                                       dtype=self.dtype, name=name)
         else:
             conv = lambda name: conv3x3(c, dtype=self.dtype, name=name)
         x = nn.relu(conv("conv1")(x))
@@ -64,14 +70,24 @@ class TopDownPyramid(nn.Module):
     channels: int = 256
     dtype: Dtype = jnp.float32
     quant: bool = False
+    # QAT: ((key, xscale), ...) with utils/quantize.py keys "tcb{k}/conv{i}".
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, sources: List[jnp.ndarray]) -> List[jnp.ndarray]:
         assert len(sources) == self.num_scales
+        qs = dict(self.qat_scales) if self.qat_scales else None
         outs: List[jnp.ndarray] = [None] * self.num_scales  # type: ignore
         deeper = None
         for k in reversed(range(self.num_scales)):
+            blk_qs = None
+            if qs:
+                pre = f"tcb{k}/"
+                blk_qs = tuple(
+                    (key[len(pre):], v) for key, v in qs.items()
+                    if key.startswith(pre)
+                )
             deeper = TCB(self.channels, dtype=self.dtype, quant=self.quant,
-                         name=f"tcb{k}")(sources[k], deeper)
+                         qat_scales=blk_qs, name=f"tcb{k}")(sources[k], deeper)
             outs[k] = deeper
         return outs

@@ -103,6 +103,9 @@ class ConvGRUCell(nn.Module):
     # Pass-through init (see module comment); False = plain xavier/zeros.
     passthrough_init: bool = True
     quant: bool = False
+    # QAT: (("gates", s), ("cand", s)) — fake-quant the cell convs (FQConv)
+    # with the pass-through inits preserved (fp32 masters).
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, x, h):
@@ -119,6 +122,13 @@ class ConvGRUCell(nn.Module):
             from tdrn_tpu.models.layers import QConv
 
             conv = lambda f, name: QConv(f, (3, 3), dtype=self.dtype, name=name)
+        elif self.qat_scales:
+            from tdrn_tpu.models.layers import FQConv
+
+            qs = dict(self.qat_scales)
+            conv = lambda f, name, **kw: FQConv(
+                f, (3, 3), xscale=qs[name], dtype=self.dtype, name=name, **kw
+            )
         else:
             conv = lambda f, name, **kw: conv3x3(
                 f, dtype=self.dtype, name=name, **kw
@@ -155,12 +165,15 @@ class LightGRUCell(nn.Module):
     # stays in the compute dtype (negligible FLOPs, and QConv has no
     # feature_group_count).
     quant: bool = False
+    # QAT twin of `quant`: (("gate", s), ("cand", s)) fake-quant scales.
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, x, h):
-        from tdrn_tpu.models.layers import _KERNEL_INIT, QConv, conv1x1
+        from tdrn_tpu.models.layers import _KERNEL_INIT, FQConv, QConv, conv1x1
 
         c = self.channels
+        qs = dict(self.qat_scales) if self.qat_scales else None
         if self.passthrough_init:
             gate_bias = lambda key, shape, dtype=jnp.float32: jnp.full(
                 shape, _PASSTHROUGH_Z_BIAS, dtype
@@ -175,6 +188,10 @@ class LightGRUCell(nn.Module):
         self.sow("intermediates", "xh", xh)
         if self.quant:
             z = nn.sigmoid(QConv(c, (1, 1), dtype=self.dtype, name="gate")(xh))
+        elif qs:
+            z = nn.sigmoid(FQConv(c, (1, 1), xscale=qs["gate"],
+                                  bias_init=gate_bias, dtype=self.dtype,
+                                  name="gate")(xh))
         else:
             z = nn.sigmoid(
                 conv1x1(c, dtype=self.dtype, bias_init=gate_bias, name="gate")(xh)
@@ -186,6 +203,10 @@ class LightGRUCell(nn.Module):
         )(xh)
         if self.quant:
             cand = nn.tanh(QConv(c, (1, 1), dtype=self.dtype, name="cand")(dw))
+        elif qs:
+            cand = nn.tanh(FQConv(c, (1, 1), xscale=qs["cand"],
+                                  kernel_init=cand_kernel, dtype=self.dtype,
+                                  name="cand")(dw))
         else:
             cand = nn.tanh(
                 conv1x1(c, dtype=self.dtype, kernel_init=cand_kernel, name="cand")(dw)
@@ -204,18 +225,28 @@ class TemporalPropagation(nn.Module):
     cell: str = "convgru"
     dtype: Dtype = jnp.float32
     quant: bool = False  # serving-only int8 cell convs (utils/quantize.py)
+    # QAT: ((key, xscale), ...) with utils/quantize.py keys "gru{k}/<conv>".
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(
         self, feats: List[jnp.ndarray], state: Optional[State]
     ) -> Tuple[List[jnp.ndarray], State]:
         cell_cls = ConvGRUCell if self.cell == "convgru" else LightGRUCell
+        qs = dict(self.qat_scales) if self.qat_scales else None
         outs, new_state = [], []
         for k, x in enumerate(feats):
             h = state[k] if state is not None else jnp.zeros_like(x)
+            cell_qs = None
+            if qs:
+                pre = f"gru{k}/"
+                cell_qs = tuple(
+                    (key[len(pre):], v) for key, v in qs.items()
+                    if key.startswith(pre)
+                )
             h_new = cell_cls(
                 self.channels, dtype=self.dtype, quant=self.quant,
-                name=f"gru{k}",
+                qat_scales=cell_qs, name=f"gru{k}",
             )(x, h)
             outs.append(h_new)
             new_state.append(h_new)

@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from flax.linen import initializers as nn_init
 
-from tdrn_tpu.models.layers import QConv, conv1x1, conv3x3
+from tdrn_tpu.models.layers import FQConv, QConv, conv1x1, conv3x3
 
 Dtype = Any
 
@@ -177,6 +177,10 @@ class VGG16Reduced(nn.Module):
     # from any fp32/bf16 checkpoint (+ a calibration pass for the static
     # activation scales). conv stem only.
     quant: bool = False
+    # QAT fine-tuning (models/layers.FQConv): tuple of (conv_name, xscale)
+    # pairs — every backbone conv runs fake-quantized on QConv's grids with
+    # straight-through gradients. Param tree unchanged (fp32 masters).
+    qat_scales: Any = None
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -190,6 +194,17 @@ class VGG16Reduced(nn.Module):
 
             def c1(n, name):
                 return QConv(n, (1, 1), dtype=self.dtype, name=name)
+        elif self.qat_scales:
+            assert self.stem == "conv", "qat supports the conv stem only"
+            qs = dict(self.qat_scales)
+
+            def c3(n, name, stride=1, dilation=1):
+                return FQConv(n, (3, 3), stride=stride, dilation=dilation,
+                              xscale=qs[name], dtype=self.dtype, name=name)
+
+            def c1(n, name):
+                return FQConv(n, (1, 1), xscale=qs[name], dtype=self.dtype,
+                              name=name)
         else:
             def c3(n, name, stride=1, dilation=1):
                 return conv3x3(n, stride=stride, dilation=dilation,

@@ -130,6 +130,7 @@ def make_train_step(
     clip_mode: bool = False,
     remat: bool = False,
     compute_dtype: Optional[Any] = None,
+    qat_scales: Optional[Dict[str, float]] = None,
 ):
     """Build the jitted train step.
 
@@ -145,6 +146,12 @@ def make_train_step(
     fp32-heads split as the resident-bf16 inference profile, so train and
     serve precision match). Grads flow through the cast back to the fp32
     masters; bf16 keeps fp32's exponent range, so no loss scaling is needed.
+
+    qat_scales: calibrated activation scales (utils/quantize) — the loss
+    forward fake-quantizes the int8-profile convs on the serving grids with
+    straight-through gradients (utils/quantize.apply_qat). Masters, optimizer
+    state, and checkpoints stay plain fp32; the TRAIN model passed in is
+    unchanged (composes with compute_dtype like the serving profiles do).
     """
     cfg = model.cfg
     loss_model = model
@@ -155,6 +162,10 @@ def make_train_step(
         assert jnp.dtype(compute_dtype) == jnp.bfloat16, compute_dtype
         loss_model = model.clone(dtype=compute_dtype, head_dtype=jnp.float32)
         cast_in = cast_params_bf16
+    if qat_scales:
+        from tdrn_tpu.utils.quantize import apply_qat
+
+        loss_model = apply_qat(loss_model, qat_scales)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch_images: Array, targets: Targets):

@@ -297,6 +297,39 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
             quantize_backbone_params(variables, act_scales))
 
 
+def apply_qat(model, act_scales: Dict[str, float]):
+    """Clone the model for QAT fine-tuning on the given calibrated scales.
+
+    The train-time twin of :func:`apply_int8_backbone`: every conv the int8
+    serving profile would quantize runs fake-quantized (models/layers.FQConv)
+    on the SAME grids — per-out-channel weight steps derived in-graph from the
+    fp32 masters, static activation scale from ``act_scales`` — with
+    straight-through gradients. Which subsystems fake-quantize follows the
+    keys present (tcb/gru extensions), exactly like the scales-file serving
+    path. Params/checkpoints stay plain fp32; serve the result with
+    ``--precision int8 --int8_scales <same file>``.
+    """
+    if model.backbone == "vgg16":
+        if model.stem != "conv":
+            raise ValueError("qat supports the conv stem only")
+    elif model.backbone != "resnet101":
+        raise ValueError(f"qat: unsupported backbone {model.backbone!r}")
+    missing = sorted(set(expected_conv_keys(model)) - set(act_scales))
+    if missing:
+        shown = missing[:5] + (["..."] if len(missing) > 5 else [])
+        raise ValueError(
+            f"qat scales missing convs for backbone {model.backbone!r}: {shown}"
+        )
+    if any(_is_gru_key(k) for k in act_scales) and not model.temporal:
+        raise ValueError("gru qat scales need a temporal model")
+    bad = {k: v for k, v in act_scales.items() if not (float(v) > 0)}
+    if bad:
+        raise ValueError(f"qat: non-positive activation scales {bad}")
+    return model.clone(
+        qat_scales=tuple(sorted((k, float(v)) for k, v in act_scales.items()))
+    )
+
+
 def expected_conv_keys(model) -> Sequence[str]:
     """The backbone conv-scale keys this model's int8 profile requires."""
     if model.backbone == "vgg16":

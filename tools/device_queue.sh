@@ -47,4 +47,8 @@ run python tools/train_bench.py
 run python tools/train_bench.py --bf16
 run python tools/train_bench.py --clip
 run python tools/train_bench.py --clip --bf16
+# 6. QAT (session-5): if 4d shows a visible int8/int8_tcb mAP delta on the
+# hard model, quantify how much the QAT fine-tune recovers (calibrate ->
+# train.py --qat --init_from -> int8 eval on the SAME scales).
+run python tools/synth_fidelity.py --hard --skip_gen --skip_train --out /tmp/synth_hard --qat_check
 echo "QUEUE DONE $(date -u +%H:%M:%S)" >> $L

@@ -242,6 +242,14 @@ def main():
                          "profiles and report mAP deltas vs fp32 (most "
                          "meaningful on --hard, whose non-saturated mAP can "
                          "show a regression)")
+    ap.add_argument("--qat_check", action="store_true",
+                    help="full QAT workflow on the trained model: calibrate "
+                         "int8 scales (eval.py --save_scales), fine-tune "
+                         "with train.py --qat --init_from, then eval the "
+                         "result under --precision int8 with the SAME "
+                         "scales; reports mAP_int8_qat vs the PTQ int8 mAP")
+    ap.add_argument("--qat_steps", type=int, default=None,
+                    help="QAT fine-tune steps (default steps/4)")
     ap.add_argument("--skip_train", action="store_true",
                     help="re-eval an existing --out/weights checkpoint")
     ap.add_argument("--extra_train_args", default="",
@@ -278,11 +286,11 @@ def main():
     if not args.skip_train:
         subprocess.run(train_cmd, check=True, cwd=REPO, env=env)
 
-    def run_eval(extra=()):
+    def run_eval(extra=(), ckpt=None):
         eval_cmd = [
             sys.executable, os.path.join(REPO, "eval.py"),
             "--dataset", "voc_320", "--data_root", data_root,
-            "--checkpoint", weights, "--split", "2007:test",
+            "--checkpoint", ckpt or weights, "--split", "2007:test",
             "--batch_size", "8", *extra,
         ]
         out = subprocess.run(
@@ -336,6 +344,40 @@ def main():
                 None if map_p is None or map_exact is None
                 else round(map_p - map_exact, 6)
             )
+    if args.qat_check:
+        # 1. Calibrate once, offline (backbone + TCB keys -> QAT covers both).
+        scales = os.path.join(args.out, "int8_scales.json")
+        run_eval(("--precision", "int8", "--int8_tcb", "--save_scales", scales))
+        # 2. PTQ baseline on those exact scales (what QAT must beat).
+        map_ptq, _ = run_eval(("--precision", "int8", "--int8_scales", scales))
+        # 3. Fine-tune with fake-quant on the same grids.
+        weights_qat = os.path.join(args.out, "weights_qat")
+        qat_steps = args.qat_steps or max(200, args.steps // 4)
+        qat_cmd = [
+            sys.executable, os.path.join(REPO, "train.py"),
+            "--dataset", "voc_320", "--data_root", data_root,
+            "--image_sets", "2007:trainval",
+            "--batch_size", str(args.batch_size),
+            "--max_iter", str(qat_steps), "--lr", str(args.lr * 0.1),
+            "--warmup", "50", "--milestones", str(qat_steps),
+            "--save_folder", weights_qat, "--save_every", str(qat_steps),
+            "--no_photometric", "--log_every", "50", "--seed", str(args.seed),
+            "--qat", "--int8_scales", scales, "--init_from", weights,
+        ] + (args.extra_train_args.split() if args.extra_train_args else [])
+        subprocess.run(qat_cmd, check=True, cwd=REPO, env=env)
+        # 4. Serve the QAT checkpoint int8 on the SAME scales.
+        map_qat, _ = run_eval(("--precision", "int8", "--int8_scales", scales),
+                              ckpt=weights_qat)
+        result["mAP_int8_ptq"] = map_ptq
+        result["mAP_int8_qat"] = map_qat
+        result["qat_vs_ptq_delta"] = (
+            None if map_qat is None or map_ptq is None
+            else round(map_qat - map_ptq, 6)
+        )
+        result["qat_vs_fp32_delta"] = (
+            None if map_qat is None or map_exact is None
+            else round(map_qat - map_exact, 6)
+        )
     print(json.dumps(result))
 
 

@@ -78,6 +78,18 @@ def parse_args():
                          "profile (utils/precision.py)")
     ap.add_argument("--remat", action="store_true",
                     help="checkpoint per-frame forwards in clip mode (less HBM)")
+    ap.add_argument("--qat", action="store_true",
+                    help="quantization-aware fine-tuning: the convs the int8 "
+                         "serving profile quantizes run fake-quantized on the "
+                         "calibrated grids (straight-through gradients; fp32 "
+                         "masters/checkpoints). Requires --int8_scales; "
+                         "typically composed with --init_from <fp32 run>. "
+                         "Serve the result with --precision int8 and the SAME "
+                         "scales file.")
+    ap.add_argument("--int8_scales", default=None,
+                    help="activation-scales json from `eval.py --precision "
+                         "int8 --save_scales` (defines which convs fake-"
+                         "quantize: backbone [+ tcb/gru keys if present])")
     ap.add_argument("--mixed_frames", type=int, default=0,
                     help="clip mode: interleave one frame-objective optimizer "
                          "step per iteration on this many INDEPENDENT frames "
@@ -95,6 +107,9 @@ def main():
     args = parse_args()
     if args.mixed_frames and not args.clip:
         raise SystemExit("--mixed_frames requires --clip")
+    if args.qat and not args.int8_scales:
+        raise SystemExit("--qat requires --int8_scales (calibrate offline: "
+                         "eval.py --precision int8 --save_scales <path>)")
     from tdrn_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)
     import jax
@@ -214,6 +229,7 @@ def main():
             "backbone_norm": args.backbone_norm,
             "tcb_channels": 256,
             "bf16": bool(args.bf16),
+            "qat": bool(args.qat),
             "optimizer": {
                 "lr": args.lr, "momentum": args.momentum,
                 "weight_decay": args.weight_decay, "warmup": args.warmup,
@@ -227,9 +243,17 @@ def main():
             ts = replicate_tree(restored, mesh)
             print(f"resumed at step {int(ts.step)}")
 
+    qat_scales = None
+    if args.qat:
+        from tdrn_tpu.utils.quantize import load_act_scales
+
+        qat_scales = load_act_scales(args.int8_scales)
+        print(f"qat: fake-quantizing {len(qat_scales)} convs "
+              f"on {args.int8_scales}")
     step_fn = make_train_step(
         model, opt, clip_mode=args.clip, remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        qat_scales=qat_scales,
     )
     logger = MetricsLogger(args.save_folder, tensorboard=args.tensorboard, echo_every=args.log_every)
 
