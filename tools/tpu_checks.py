@@ -83,6 +83,12 @@ def check_compile_cache() -> bool:
         finally:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             jax.config.update("jax_compilation_cache_dir", None)
+            # The cache module latches the directory at first use; without a
+            # reset every later compile in this process keeps writing into
+            # the (now deleted) temp dir and warns on each entry.
+            from jax.experimental.compilation_cache import compilation_cache
+
+            compilation_cache.reset_cache()
     ok = bool(entries)
     print(f"persistent compilation cache on this backend: "
           f"{'WORKS' if ok else 'NOT SUPPORTED (cache misses only)'}")
