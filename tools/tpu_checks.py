@@ -124,11 +124,55 @@ def check_int8_conv() -> bool:
     return ok
 
 
+def check_offthread_fetch(timeout_s: float = 90.0) -> bool:
+    """Probe whether a worker thread can dispatch + fetch on this backend
+    when the backend was initialized on the main thread.
+
+    This is exactly serve.py --mode threaded's execution model (the
+    dispatcher thread owns all device work; HTTP threads only enqueue).
+    On some axon tunnel builds, fetches off the backend-init thread
+    deadlocked (serving.py docstring; VERDICT round-2 weak #7), which is
+    why --mode sync is the default. This probe answers it for the live
+    transport: WORKS -> --mode threaded (batch coalescing across lanes)
+    is safe here.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x * 2 + 1).sum())
+    # Main-thread warmup: compile + one full fetch, like serve.py startup.
+    np.asarray(f(jnp.ones((128, 128))))
+
+    done = threading.Event()
+    out = {}
+
+    def worker():
+        try:
+            out["val"] = float(np.asarray(f(jnp.full((128, 128), 3.0))))
+        except Exception as e:  # pragma: no cover - transport-specific
+            out["err"] = repr(e)
+        done.set()
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    ok = done.wait(timeout_s) and out.get("val") == 128 * 128 * 7.0
+    if not done.is_set():
+        print(f"off-thread dispatch+fetch: DEADLOCK (>{timeout_s:.0f}s) — "
+              "keep serve.py --mode sync on this transport")
+    else:
+        print(f"off-thread dispatch+fetch: "
+              f"{'WORKS — serve.py --mode threaded is safe here' if ok else 'FAILED: ' + str(out)}")
+    return ok
+
+
 def main():
     import jax
 
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     check_compile_cache()
+    check_offthread_fetch()
     if not check_int8_conv():
         sys.exit(1)
     failures = check_topk_equivalence()
