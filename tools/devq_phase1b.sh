@@ -10,9 +10,12 @@ L=/tmp/devq1b.log
 : > $L
 run() {
   echo "=== [$(date -u +%H:%M:%S)] $*" >> $L
-  timeout 580 "$@" >> $L 2>&1
+  timeout 900 "$@" >> $L 2>&1
   echo "--- exit=$? [$(date -u +%H:%M:%S)]" >> $L
 }
+# 0. retry of the phase-1 int8 b8 row that timed out at 580s (first compile
+#    of the calibration + quantized programs; partially cached now)
+run python tools/device_bench.py --batch 8 --stem conv --int8 --bf16_weights --prefilter 512
 # 1. single-stream pipelining ladder
 run python tools/device_bench.py --batch 1 --chunk 2 --bf16_weights --prefilter 512
 run python tools/device_bench.py --batch 1 --chunk 4 --bf16_weights --prefilter 512
