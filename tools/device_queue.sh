@@ -2,7 +2,7 @@
 # Pending device-measurement queue (round-3 session-3; run when the axon
 # tunnel is back). Results -> /tmp/devq.log; transcribe into BENCH.md/NOTES.md.
 # All configs compile-smoked on the CPU backend at full geometry first.
-cd /root/repo
+cd /root/repo || exit 1
 L=/tmp/devq.log
 : > $L
 run() {

@@ -2,7 +2,7 @@
 # Round-3 session-5 phase-1 device queue: pure benchmarks, priority order
 # (most valuable first in case the tunnel drops again). No /tmp/synth_hard
 # dependency — quality gates run in phase 2 after the hard model retrains.
-cd /root/repo
+cd /root/repo || exit 1
 L=/tmp/devq.log
 : > $L
 run() {

@@ -5,7 +5,7 @@
 #  * best-known b1 latency combo (int8_full + pad_stem)
 #  * b16 headline-profile candidates for bench.py (current headline 1029
 #    FPS/chip @16 streams bf16; int8_full may beat it)
-cd /root/repo
+cd /root/repo || exit 1
 L=/tmp/devq1b.log
 : > $L
 run() {

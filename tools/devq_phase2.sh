@@ -2,7 +2,7 @@
 # Round-3 session-5 phase-2 device queue: regenerate the hard fidelity model
 # (/tmp was wiped between sessions) and run the int8/QAT/prefilter quality
 # gates on it. Run AFTER devq_phase1.sh.
-cd /root/repo
+cd /root/repo || exit 1
 L=/tmp/devq2.log
 : > $L
 run() {

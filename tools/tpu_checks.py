@@ -172,16 +172,23 @@ def main():
 
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     check_compile_cache()
-    check_offthread_fetch()
+    ok = True
     if not check_int8_conv():
-        sys.exit(1)
+        ok = False
     failures = check_topk_equivalence()
     if failures:
         print(f"{failures} top-k equivalence failures — approx_topk is NOT "
               "exact on this backend; set approx_topk=False in config.py")
+        ok = False
+    else:
+        print("OK: approx_max_k(recall_target=1.0) == lax.top_k (values + "
+              "tie order) on this backend")
+    # Last on purpose (ADVICE r3): if this probe deadlocks, its stuck daemon
+    # thread can hold the transport lock — running it after the gating checks
+    # means a hang can no longer starve the int8/top-k canaries.
+    check_offthread_fetch()
+    if not ok:
         sys.exit(1)
-    print("OK: approx_max_k(recall_target=1.0) == lax.top_k (values + tie "
-          "order) on this backend")
 
 
 if __name__ == "__main__":
