@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--config", default="vid_320", help="detector config name")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
     ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"])
-    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--cell", default="convgru", choices=["convgru", "light", "hybrid"])
     ap.add_argument("--prefilter", type=int, default=512,
                     help="streaming-profile anchor cap before per-class NMS "
                          "(0 = exact reference-parity Detect; eval.py always "

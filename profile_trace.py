@@ -24,8 +24,14 @@ def main():
     ap.add_argument("--backbone", default="vgg16")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"])
-    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--cell", default="convgru",
+                    choices=["convgru", "light", "hybrid"])
     ap.add_argument("--prefilter", type=int, default=0)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 PTQ backbone (random-frame calibration — "
+                         "timing-representative, not serving-representative)")
+    ap.add_argument("--int8_tcb", action="store_true")
+    ap.add_argument("--int8_gru", action="store_true")
     ap.add_argument("--bf16_weights", action="store_true",
                     help="resident-bf16 serving profile (utils/precision.py)")
     ap.add_argument("--chunk", type=int, default=1)
@@ -53,6 +59,19 @@ def main():
         from tdrn_tpu.utils.precision import apply_inference_precision
 
         model, params = apply_inference_precision(model, params, "bf16")
+    if args.int8:
+        from tdrn_tpu.ops.preprocess import preprocess_batch
+        from tdrn_tpu.utils.quantize import apply_int8_backbone
+
+        calib = preprocess_batch(
+            jnp.asarray(np.random.RandomState(1).randint(
+                0, 255, (min(args.batch, 8), cfg.size, cfg.size, 3),
+                dtype=np.uint8,
+            )), cfg, model.dtype, model.fold_mean,
+        )
+        model, params = apply_int8_backbone(model, params, calib,
+                                            tcb=args.int8_tcb,
+                                            gru=args.int8_gru)
     det = StreamingDetector(model, params, num_streams=args.batch,
                             prefilter=args.prefilter or None, chunk=args.chunk)
     shape = (args.batch, cfg.size, cfg.size, 3)

@@ -75,7 +75,7 @@ class TDRN(nn.Module):
     tcb_channels: int = 256
     width_mult: float = 1.0
     stem: str = "conv"  # "s2d" = space-to-depth stem (models/vgg.py)
-    temporal_cell: str = "convgru"  # or "light" (models/temporal.py)
+    temporal_cell: str = "convgru"  # "light" / "hybrid" (models/temporal.py)
     backbone_norm: str = "frozen"  # resnet only: "frozen" | "group"
     dtype: Dtype = jnp.float32
     # Compute dtype for the ARM/ODM heads; None = same as `dtype`. The

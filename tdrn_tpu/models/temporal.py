@@ -214,10 +214,25 @@ class LightGRUCell(nn.Module):
         return (1.0 - z) * h + z * cand
 
 
+def cell_kind(cell: str, scale: int) -> str:
+    """Which cell class ("convgru"/"light") runs at a given pyramid scale.
+
+    Shared with utils/quantize.py so the int8 calibration keys ("gates" vs
+    "gate"/"cand") always match the module actually instantiated.
+    """
+    if cell == "hybrid":
+        return "light" if scale == 0 else "convgru"
+    return cell
+
+
 class TemporalPropagation(nn.Module):
     """Per-scale gated carry over the ODM feature pyramid.
 
-    cell="convgru" (full 3x3 ConvGRU) or "light" (LightGRUCell).
+    cell="convgru" (full 3x3 ConvGRU), "light" (LightGRUCell), or "hybrid":
+    LightGRUCell on scale 0 only — the 40x40 scale is where the ConvGRU's
+    FLOPs concentrate (its two 3x3 512-in convs are ~1/4 of the whole model,
+    BENCH.md round-3 composition), so the hybrid keeps the full cell's
+    modeling capacity on the 3 cheap scales while cutting the dominant cost.
     """
 
     num_scales: int = 4
@@ -232,10 +247,16 @@ class TemporalPropagation(nn.Module):
     def __call__(
         self, feats: List[jnp.ndarray], state: Optional[State]
     ) -> Tuple[List[jnp.ndarray], State]:
-        cell_cls = ConvGRUCell if self.cell == "convgru" else LightGRUCell
+        if self.cell not in ("convgru", "light", "hybrid"):
+            raise ValueError(f"unknown temporal cell {self.cell!r}")
         qs = dict(self.qat_scales) if self.qat_scales else None
         outs, new_state = [], []
         for k, x in enumerate(feats):
+            cell_cls = (
+                LightGRUCell
+                if cell_kind(self.cell, k) == "light"
+                else ConvGRUCell
+            )
             h = state[k] if state is not None else jnp.zeros_like(x)
             cell_qs = None
             if qs:

@@ -175,7 +175,7 @@ class VGG16Reduced(nn.Module):
     # quant=True: every backbone conv runs as an int8 QConv (models/layers.py)
     # — serving-only, params produced by utils/quantize.quantize_backbone
     # from any fp32/bf16 checkpoint (+ a calibration pass for the static
-    # activation scales). conv stem only.
+    # activation scales). conv/s2d stems only.
     quant: bool = False
     # QAT fine-tuning (models/layers.FQConv): tuple of (conv_name, xscale)
     # pairs — every backbone conv runs fake-quantized on QConv's grids with
@@ -186,7 +186,10 @@ class VGG16Reduced(nn.Module):
     def __call__(self, x) -> List[jnp.ndarray]:
         w = lambda c: max(8, int(c * self.width_mult))
         if self.quant:
-            assert self.stem == "conv", "quant supports the conv stem only"
+            # conv + s2d both route stage 1 through c3() below; poly/fused
+            # stems consume raw kernel params and stay unquantized.
+            assert self.stem in ("conv", "s2d"), \
+                "quant supports the conv/s2d stems only"
 
             def c3(n, name, stride=1, dilation=1):
                 return QConv(n, (3, 3), stride=stride, dilation=dilation,
@@ -195,7 +198,8 @@ class VGG16Reduced(nn.Module):
             def c1(n, name):
                 return QConv(n, (1, 1), dtype=self.dtype, name=name)
         elif self.qat_scales:
-            assert self.stem == "conv", "qat supports the conv stem only"
+            assert self.stem in ("conv", "s2d"), \
+                "qat supports the conv/s2d stems only"
             qs = dict(self.qat_scales)
 
             def c3(n, name, stride=1, dilation=1):

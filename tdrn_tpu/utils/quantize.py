@@ -163,11 +163,13 @@ def calibrate_act_scales(
     if gru:
         if not model.temporal:
             raise ValueError("gru=True needs a temporal model")
+        from tdrn_tpu.models.temporal import cell_kind
+
         tinter = mods["intermediates"]["temporal"]
         for k in range(len(model.cfg.feature_maps)):
             cell = tinter[f"gru{k}"]
             xh = stat(np.asarray(cell["xh"][0], np.float32), signed=True)
-            if model.temporal_cell == "convgru":
+            if cell_kind(model.temporal_cell, k) == "convgru":
                 xrh = stat(np.asarray(cell["xrh"][0], np.float32), signed=True)
                 scales[f"gru{k}/gates"] = max(xh, 1.0)
                 scales[f"gru{k}/cand"] = max(xrh, 1.0)
@@ -266,8 +268,14 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
     weight dtype it's given.
     """
     if model.backbone == "vgg16":
-        if model.stem != "conv":
-            raise ValueError("int8 vgg16 backbone supports the conv stem only")
+        # s2d is a value-preserving reshape of the input, so the calibration
+        # chain (conv1_1 input = the frame; conv1_2 input = relu(conv1_1)) is
+        # unchanged — stage-1 convs quantize exactly like the conv stem's.
+        # poly/fused stems consume raw kernel params and are not supported.
+        if model.stem not in ("conv", "s2d"):
+            raise ValueError(
+                "int8 vgg16 backbone supports the conv/s2d stems only"
+            )
     elif model.backbone != "resnet101":
         raise ValueError(f"int8 backbone: unsupported {model.backbone!r}")
     if getattr(model, "fold_mean", False):
@@ -310,8 +318,8 @@ def apply_qat(model, act_scales: Dict[str, float]):
     ``--precision int8 --int8_scales <same file>``.
     """
     if model.backbone == "vgg16":
-        if model.stem != "conv":
-            raise ValueError("qat supports the conv stem only")
+        if model.stem not in ("conv", "s2d"):
+            raise ValueError("qat supports the conv/s2d stems only")
     elif model.backbone != "resnet101":
         raise ValueError(f"qat: unsupported backbone {model.backbone!r}")
     missing = sorted(set(expected_conv_keys(model)) - set(act_scales))

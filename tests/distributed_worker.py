@@ -4,10 +4,10 @@ Runs one DP train step on the tiny detector and prints a JSON line with the
 loss and a post-update parameter checksum. Two roles:
 
   dist   <coordinator> <process_id> <num_processes>   — 2 CPU devices/process,
-         global 4-device mesh across processes; this process feeds its local
-         half of the global batch (rows [pid*4, pid*4+4)).
-  single                                               — 4 CPU devices, one
-         process, the full 8-row batch.
+         global 2*nproc-device mesh across processes; this process feeds its
+         local 8/nproc-row shard of the global 8-row batch.
+  single [<ndevices>=4]                               — one process, ndevices
+         CPU devices, the full 8-row batch.
 
 Loss and updated params must match between the two modes (same global mesh
 size, same seeds): that is the multi-host correctness claim of
@@ -23,9 +23,11 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2 if role == "dist" else 4)
+    single_devices = int(sys.argv[2]) if role == "single" and len(sys.argv) > 2 else 4
+    jax.config.update("jax_num_cpu_devices",
+                      2 if role == "dist" else single_devices)
 
-    pid = 0
+    pid, nproc = 0, 1
     if role == "dist":
         coord, pid, nproc = sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
         from tdrn_tpu.parallel.distributed import init_distributed
@@ -48,7 +50,8 @@ def main():
     rng = np.random.RandomState(0)
     images, targets = synth_batch(rng, batch=8)
     if role == "dist":
-        lo, hi = pid * 4, pid * 4 + 4  # this host's batch shard
+        rows = 8 // nproc  # this host's batch shard
+        lo, hi = pid * rows, pid * rows + rows
         images = np.asarray(images)[lo:hi]
         targets = jax.tree.map(lambda x: np.asarray(x)[lo:hi], targets)
 

@@ -94,3 +94,28 @@ def test_chunk_reset_applies_at_chunk_boundary(model_params):
     np.testing.assert_array_equal(
         np.asarray(out_fresh.scores), np.asarray(out_clean.scores)
     )
+
+
+def test_chunk_hybrid_cell_equivalent():
+    """chunk=2 == two chunk=1 steps for the hybrid per-scale cell too (the
+    round-4 single-stream latency candidate pairs chunking with hybrid)."""
+    from tdrn_tpu.config import TINY_64
+    from tdrn_tpu.models import build_detector
+
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.125, temporal_cell="hybrid")
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 1, 64, 64, 3).astype(np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3)), model.zero_state(1)
+    )
+    m2 = model.clone(chunk=2)
+    h0 = model.zero_state(1)
+    p1, h1 = model.apply(params, x[0], h0)
+    p2, h2 = model.apply(params, x[1], h1)
+    pc, hc = m2.apply(params, x.reshape(2, 64, 64, 3), h0)
+    np.testing.assert_allclose(
+        np.asarray(pc.odm_conf[1]), np.asarray(p2.odm_conf[0]), atol=2e-5
+    )
+    for a, b in zip(h2, hc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -193,3 +193,24 @@ def test_poly_stem_trains_and_runs_bf16():
     preds16, _ = m16.apply(p16, frames, m16.zero_state(2))
     assert preds16.odm_conf.dtype == jnp.float32
     assert np.isfinite(np.asarray(preds16.odm_conf)).all()
+
+
+def test_hybrid_cell_param_tree_and_forward():
+    """cell="hybrid": LightGRUCell on scale 0 (where the ConvGRU FLOPs
+    concentrate), full ConvGRUCell on the deeper scales — param tree must
+    show light keys at gru0 and convgru keys at gru1+, and the carry must
+    still condition the next frame."""
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.125, temporal_cell="hybrid")
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), x, model.zero_state(1))
+    t = params["params"]["temporal"]
+    assert set(t["gru0"]) == {"gate", "dw", "cand"}   # light cell
+    for k in range(1, 4):
+        assert set(t[f"gru{k}"]) == {"gates", "cand"}  # full convgru
+    rng = np.random.RandomState(4)
+    xr = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    preds0, state1 = model.apply(params, xr, model.zero_state(1))
+    preds1, _ = model.apply(params, xr, state1)
+    assert not np.allclose(np.asarray(preds0.odm_conf),
+                           np.asarray(preds1.odm_conf))

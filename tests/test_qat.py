@@ -238,3 +238,27 @@ def test_qat_validation_surface():
 
     with pytest.raises(ValueError, match="non-positive"):
         apply_qat(model, dict(scales, conv1_1=0.0))
+
+
+def test_qat_s2d_stem():
+    """QAT composes with the s2d fast-profile stem (round 4): param tree
+    unchanged, forward runs fake-quantized, gradients flow to conv1_1."""
+    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                           width_mult=0.25, stem="s2d")
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), x, None)
+    scales = _tiny_scales(model, params, x)
+
+    qat = apply_qat(model, scales)
+    qparams = jax.jit(qat.init)(jax.random.PRNGKey(4), x, None)
+    assert jax.tree.structure(params) == jax.tree.structure(qparams)
+
+    def loss(p):
+        preds, _ = qat.apply(p, x, None)
+        return jnp.sum(jnp.square(preds.odm_conf))
+
+    g = jax.jit(jax.grad(loss))(params)
+    gk = np.asarray(g["params"]["backbone"]["conv1_1"]["kernel"])
+    assert gk.shape[2] == 12  # s2d: 4x input channels
+    assert np.abs(gk).max() > 0  # STE gradients reach the stem

@@ -247,7 +247,7 @@ def test_int8_resnet_missing_scales_rejected():
         apply_int8_backbone(model, params, act_scales=scales)
 
 
-@pytest.mark.parametrize("cell", ["convgru", "light"])
+@pytest.mark.parametrize("cell", ["convgru", "light", "hybrid"])
 def test_int8_gru_cells(cell):
     """gru=True quantizes the temporal-cell convs: sow-ed concat-input
     calibration (scale floored at 1.0 — |h| <= 1), int8 kernels under
@@ -263,8 +263,14 @@ def test_int8_gru_cells(cell):
     )
 
     scales = calibrate_act_scales(model, params, x, gru=True)
-    gate = "gates" if cell == "convgru" else "gate"
-    assert {f"gru{k}/{gate}" for k in range(4)} <= set(scales)
+    from tdrn_tpu.models.temporal import cell_kind
+
+    gates = {
+        k: ("gates" if cell_kind(cell, k) == "convgru" else "gate")
+        for k in range(4)
+    }
+    gate = gates[0]
+    assert {f"gru{k}/{g}" for k, g in gates.items()} <= set(scales)
     assert {f"gru{k}/cand" for k in range(4)} <= set(scales)
     assert all(scales[k] >= 1.0 for k in scales if k.startswith("gru"))
 
@@ -273,8 +279,12 @@ def test_int8_gru_cells(cell):
     tsub = qparams["params"]["temporal"]["gru0"]
     assert tsub[gate]["kernel"].dtype == jnp.int8
     assert tsub["cand"]["kernel"].dtype == jnp.int8
-    if cell == "light":  # depthwise conv stays unquantized
+    if cell_kind(cell, 0) == "light":  # depthwise conv stays unquantized
         assert "xscale" not in tsub["dw"]
+    if cell == "hybrid":  # deeper scales carry the full convgru convs
+        assert qparams["params"]["temporal"]["gru1"]["gates"][
+            "kernel"
+        ].dtype == jnp.int8
 
     # 3 recurrent steps: quantization error must not blow up through the carry
     step = jax.jit(model.apply)
@@ -306,8 +316,40 @@ def test_int8_calibration_on_chunked_model():
     assert qparams["params"]["backbone"]["conv1_1"]["kernel"].dtype == jnp.int8
 
 
-def test_int8_requires_conv_stem():
-    model = build_detector(TINY_64, temporal=False, tcb_channels=32,
-                           width_mult=0.125, stem="s2d")
-    with pytest.raises(ValueError):
-        apply_int8_backbone(model, {}, np.zeros((1, 64, 64, 3), np.float32))
+def test_int8_rejects_poly_fused_stems():
+    for stem in ("poly", "fused"):
+        model = build_detector(TINY_64, temporal=False, tcb_channels=32,
+                               width_mult=0.125, stem=stem)
+        with pytest.raises(ValueError):
+            apply_int8_backbone(model, {},
+                                np.zeros((1, 64, 64, 3), np.float32))
+
+
+def test_int8_s2d_stem_end_to_end():
+    """The fast serving profile (s2d stem + light cell) composes with the
+    full int8 pyramid: s2d is a value-preserving reshape, so conv1_1
+    calibrates off the frame max exactly like the conv stem (round-4 fix —
+    utils/quantize.py previously refused the combination)."""
+    model = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                           width_mult=0.25, stem="s2d", temporal_cell="light")
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    state = model.zero_state(2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), x, state)
+
+    scales = calibrate_act_scales(model, params, x, tcb=True, gru=True)
+    assert scales["conv1_1"] == pytest.approx(float(jnp.abs(x).max()),
+                                              rel=1e-6)
+    qmodel, qparams = apply_int8_backbone(model, params, x, tcb=True,
+                                          gru=True)
+    bb = qparams["params"]["backbone"]
+    assert bb["conv1_1"]["kernel"].dtype == jnp.int8
+    assert bb["conv1_1"]["kernel"].shape[2] == 12  # s2d: 4x input channels
+    preds, _ = jax.jit(model.apply)(params, x, state)
+    qpreds, qstate = jax.jit(qmodel.apply)(qparams, x, state)
+    for a, b in zip(preds, qpreds):
+        assert a.shape == b.shape
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert err < 0.25, err
+    assert qstate is not None

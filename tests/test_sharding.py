@@ -179,3 +179,14 @@ def test_streaming_inference_sharded_matches_unsharded():
         np.sort(np.asarray(det_ref.scores), axis=-1),
         atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_full_width_production_program_partitions():
+    """VERDICT r3 item 6: the PRODUCTION-geometry (width 1.0, tcb 256)
+    sharded clip-training step must compile + execute over the 8-device
+    mesh — not just the width-0.25 dryrun variant. Multi-minute CPU compile;
+    slow-marked."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, "vid_320_full")

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--config", default="vid_320")
     ap.add_argument("--backbone", default="vgg16", choices=["vgg16", "resnet101"])
     ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d", "fused", "fused2"])
-    ap.add_argument("--cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--cell", default="convgru", choices=["convgru", "light", "hybrid"])
     ap.add_argument("--no_detect", action="store_true",
                     help="skip decode/NMS/top-k (model-only ablation)")
     ap.add_argument("--no_temporal", action="store_true")

@@ -187,6 +187,11 @@ def main():
                     help="pass --mixed_frames N to the CLIP training (round-3 "
                          "cold-start diagnosis: restores scene diversity; "
                          "pair with --no-staged to A/B cold-start recipes)")
+    ap.add_argument("--extra_train_args", default="",
+                    help="extra flags appended to BOTH train commands (e.g. "
+                         "'--stem s2d --temporal_cell light' to gate the fast "
+                         "serving profile; eval picks the variant up from "
+                         "model_meta.json automatically)")
     ap.add_argument("--precision_check", action="store_true",
                     help="also eval the temporal model with --precision bf16 "
                          "and int8 (serving profiles) and report each mAP "
@@ -209,7 +214,7 @@ def main():
         "--milestones", str(int(args.steps * 0.75)),
         "--no_photometric", "--log_every", "50", "--seed", str(args.seed),
         "--grad_clip", "10",
-    ]
+    ] + (args.extra_train_args.split() if args.extra_train_args else [])
     if not args.skip_train:
         _run([sys.executable, "train.py",
               "--batch_size", str(args.frame_batch_size),
@@ -247,6 +252,7 @@ def main():
         )
     result["staged"] = bool(args.staged)
     result["mixed_frames"] = args.mixed_frames
+    result["extra_train_args"] = args.extra_train_args
     # Motion-speed splits (eval.py --motion_breakdown): on this data the
     # temporal advantage should concentrate in the occlusion-heavy frames;
     # the split is the first harness surface for eval/motion.py.

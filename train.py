@@ -62,7 +62,7 @@ def parse_args():
     ap.add_argument("--num_workers", type=int, default=8)
     ap.add_argument("--loader", default="threads", choices=["threads", "grain"],
                     help="input pipeline: thread-pool or grain worker processes")
-    ap.add_argument("--temporal_cell", default="convgru", choices=["convgru", "light"])
+    ap.add_argument("--temporal_cell", default="convgru", choices=["convgru", "light", "hybrid"])
     ap.add_argument("--stem", default="conv", choices=["conv", "poly", "poly2", "s2d"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--multihost", action="store_true",
