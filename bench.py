@@ -66,6 +66,9 @@ def main():
                     help="with --int8: also quantize the temporal-cell convs "
                          "(needs the temporal model)")
     args = ap.parse_args()
+    if (args.int8_tcb or args.int8_gru) and not args.int8:
+        # ADVICE r4: silently ignoring the sub-flags would mislabel the row.
+        ap.error("--int8_tcb/--int8_gru require --int8")
 
     from tdrn_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()  # persistent XLA cache (TDRN_COMPILE_CACHE=0 opts out)

@@ -254,6 +254,40 @@ def quantize_backbone_params(variables: Any, act_scales: Dict[str, float]):
     return out
 
 
+def _validate_gru_keys(model, act_scales: Dict[str, float]) -> None:
+    """Check gru scale-key names match the model's per-scale cell kinds.
+
+    A scales file calibrated on one temporal cell applied to another (e.g. a
+    convgru-calibrated ``gru0/gates`` fed to a hybrid model whose scale 0 is a
+    LightGRU expecting ``gru0/gate``) would otherwise surface as an opaque
+    KeyError inside the cell's init (ADVICE r4). ConvGRU scales are
+    ``gru{k}/gates`` + ``gru{k}/cand``; LightGRU's are ``gru{k}/gate`` +
+    ``gru{k}/cand``.
+    """
+    import re
+
+    if not model.temporal:
+        return  # apply_int8_backbone/apply_qat raise their own error for this
+    from tdrn_tpu.models.temporal import cell_kind
+
+    by_scale: Dict[int, set] = {}
+    for key in act_scales:
+        m = re.fullmatch(_GRU_KEY, key)
+        if m:
+            k = int(key[len("gru"):key.index("/")])
+            by_scale.setdefault(k, set()).add(key.split("/", 1)[1])
+    for k, got in sorted(by_scale.items()):
+        kind = cell_kind(model.temporal_cell, k)
+        want = {"gates", "cand"} if kind == "convgru" else {"gate", "cand"}
+        if got != want:
+            raise ValueError(
+                f"gru scale keys for scale {k} are gru{k}/{sorted(got)} but "
+                f"the model's cell there is {kind!r} (temporal_cell="
+                f"{model.temporal_cell!r}), which needs gru{k}/{sorted(want)}"
+                " — the scales file was calibrated on a different cell kind"
+            )
+
+
 def apply_int8_backbone(model, variables, calib_frames: Any = None,
                         headroom: float = 1.0,
                         act_scales: Dict[str, float] | None = None,
@@ -299,6 +333,8 @@ def apply_int8_backbone(model, variables, calib_frames: Any = None,
                 f"act_scales missing convs for backbone "
                 f"{model.backbone!r}: {shown}"
             )
+        if gru:
+            _validate_gru_keys(model, act_scales)
     if gru and not model.temporal:
         raise ValueError("gru int8 scales need a temporal model")
     return (model.clone(quant=True, quant_tcb=tcb, quant_gru=gru),
@@ -330,6 +366,7 @@ def apply_qat(model, act_scales: Dict[str, float]):
         )
     if any(_is_gru_key(k) for k in act_scales) and not model.temporal:
         raise ValueError("gru qat scales need a temporal model")
+    _validate_gru_keys(model, act_scales)
     bad = {k: v for k, v in act_scales.items() if not (float(v) > 0)}
     if bad:
         raise ValueError(f"qat: non-positive activation scales {bad}")

@@ -353,3 +353,27 @@ def test_int8_s2d_stem_end_to_end():
         err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
         assert err < 0.25, err
     assert qstate is not None
+
+
+def test_gru_scales_cell_kind_mismatch_rejected():
+    """A scales file calibrated on one temporal cell applied to a model with
+    a different cell kind at that scale (e.g. convgru 'gru0/gates' fed to a
+    hybrid model whose scale 0 is a LightGRU) raises a descriptive
+    ValueError instead of an opaque KeyError inside cell init (ADVICE r4)."""
+    src = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                         width_mult=0.25, temporal_cell="convgru")
+    rng = np.random.RandomState(33)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 40)
+    params = jax.jit(src.init)(jax.random.PRNGKey(6), x, src.zero_state(2))
+    scales = calibrate_act_scales(src, params, x, tcb=True, gru=True)
+    assert "gru0/gates" in scales  # convgru naming
+
+    dst = build_detector(TINY_64, temporal=True, tcb_channels=32,
+                         width_mult=0.25, temporal_cell="hybrid")
+    dparams = jax.jit(dst.init)(jax.random.PRNGKey(6), x, dst.zero_state(2))
+    with pytest.raises(ValueError, match="different cell kind"):
+        apply_int8_backbone(dst, dparams, act_scales=scales)
+
+    # Same-kind scales stay accepted (the validator is not over-eager).
+    qmodel, _ = apply_int8_backbone(src, params, act_scales=scales)
+    assert qmodel.quant_gru

@@ -183,12 +183,17 @@ def main():
     else:
         print("OK: approx_max_k(recall_target=1.0) == lax.top_k (values + "
               "tie order) on this backend")
+    if not ok:
+        # Exit before the off-thread probe (ADVICE r4): when the gating
+        # canaries already failed, waiting up to 90s on a possibly-deadlocked
+        # transport only delays the nonzero exit. The probe is informational
+        # (serve.py mode advice) and never affects the exit code anyway.
+        sys.exit(1)
     # Last on purpose (ADVICE r3): if this probe deadlocks, its stuck daemon
     # thread can hold the transport lock — running it after the gating checks
-    # means a hang can no longer starve the int8/top-k canaries.
+    # means a hang can no longer starve the int8/top-k canaries. Result is
+    # informational-only (picks serve.py's default mode); it does not gate.
     check_offthread_fetch()
-    if not ok:
-        sys.exit(1)
 
 
 if __name__ == "__main__":
